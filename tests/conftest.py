@@ -1,0 +1,13 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Tests never require real TPU hardware; multi-chip sharding paths are exercised
+on 8 virtual CPU devices (the driver separately dry-runs the multichip path
+via __graft_entry__.dryrun_multichip).  Must run before jax is imported.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
