@@ -11,3 +11,8 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin ignores JAX_PLATFORMS; the config update is what sticks.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,234 @@
+"""Batched Montgomery field arithmetic on uint32 16-bit limbs (JAX).
+
+The device-side replacement for crypto3::multiprecision big integers
+(SURVEY.md §2B `multiprecision` row; usage at reference common.hpp:1015).
+
+Design (TPU-first):
+  * limb products a_i * b_j are exact in uint32 (operands < 2^16);
+  * the lo/hi 16-bit halves of all L*L products are accumulated into the
+    2L anti-diagonal columns by one float32 matmul against a constant 0/1
+    matrix — exact because column sums stay < 2^24, and MXU-friendly;
+  * Montgomery reduction runs L unrolled steps of cheap VPU ops; carries are
+    resolved lazily (accumulators provably stay < 2^26 « 2^32);
+  * everything broadcasts over arbitrary leading batch dims and is
+    jit/vmap/shard_map-compatible (static shapes, no data-dependent control
+    flow).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import FieldSpec, fr_spec, fq_spec
+
+MASK16 = np.uint32(0xFFFF)
+
+
+class FieldOps:
+    """Batched modular arithmetic for one prime field in Montgomery form."""
+
+    def __init__(self, spec: FieldSpec):
+        assert spec.limb_bits == 16, "layout is specialised to 16-bit limbs"
+        self.spec = spec
+        L = spec.num_limbs
+        self.L = L
+        # Constant operands.
+        self.n_limbs = np.array(spec.to_limbs(spec.modulus), dtype=np.uint32)
+        self.n0_inv = np.uint32(spec.n0_inv)
+        self.one_mont = np.array(spec.to_limbs(spec.to_mont(1)), dtype=np.uint32)
+        self.r2 = np.array(spec.to_limbs(spec.mont_r2), dtype=np.uint32)
+        self.zero = np.zeros(L, dtype=np.uint32)
+        # Anti-diagonal accumulation matrices: (L*L, 2L); lo half goes to
+        # column i+j, hi half to column i+j+1.
+        m_lo = np.zeros((L * L, 2 * L), dtype=np.float32)
+        m_hi = np.zeros((L * L, 2 * L), dtype=np.float32)
+        for i in range(L):
+            for j in range(L):
+                m_lo[i * L + j, i + j] = 1.0
+                if i + j + 1 < 2 * L:
+                    m_hi[i * L + j, i + j + 1] = 1.0
+        self.m_lo = m_lo
+        self.m_hi = m_hi
+        # Exponent bits (MSB first) for Fermat inversion.
+        inv_exp = spec.modulus - 2
+        self.inv_bits = np.array([int(b) for b in bin(inv_exp)[2:]], dtype=np.uint32)
+
+    # -- low-level helpers --------------------------------------------------
+
+    def _carry_limbs(self, cols, out_len):
+        """Propagate carries over `out_len` columns; returns (..., out_len)."""
+        cols_t = jnp.moveaxis(cols[..., :out_len], -1, 0)
+
+        def body(carry, col):
+            t = col + carry
+            return t >> 16, t & MASK16
+
+        _, outs = jax.lax.scan(body, jnp.zeros(cols.shape[:-1], jnp.uint32), cols_t)
+        return jnp.moveaxis(outs, 0, -1)
+
+    def _cond_sub_n(self, limbs):
+        """limbs (..., L+1) value < 2N -> (..., L) canonical value < N."""
+        L = self.L
+        n_ext = jnp.concatenate([jnp.asarray(self.n_limbs), jnp.zeros(1, jnp.uint32)])
+        limbs_t = jnp.moveaxis(limbs, -1, 0)
+
+        def body(borrow, xs):
+            limb, nk = xs
+            t = limb - nk - borrow
+            return (t >> 16) & jnp.uint32(1), t & MASK16
+
+        borrow, diff_t = jax.lax.scan(
+            body, jnp.zeros(limbs.shape[:-1], jnp.uint32), (limbs_t, n_ext)
+        )
+        diff = jnp.moveaxis(diff_t, 0, -1)
+        ge = borrow == 0  # no final borrow -> limbs >= N
+        out = jnp.where(ge[..., None], diff, limbs)
+        return out[..., :L]
+
+    # -- public ops ---------------------------------------------------------
+
+    def mul(self, a, b):
+        """Montgomery product: (a * b * R^-1) mod N.  a,b: (..., L) uint32."""
+        L = self.L
+        a = jnp.asarray(a, jnp.uint32)
+        b = jnp.asarray(b, jnp.uint32)
+        p = a[..., :, None] * b[..., None, :]  # exact in uint32
+        lo = (p & MASK16).astype(jnp.float32).reshape(*p.shape[:-2], L * L)
+        hi = (p >> 16).astype(jnp.float32).reshape(*p.shape[:-2], L * L)
+        # precision=HIGHEST is required: TPU f32 matmuls default to bf16
+        # passes, which silently round the (exact-integer) column sums.
+        cols = (
+            jnp.matmul(lo, self.m_lo, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+            + jnp.matmul(hi, self.m_hi, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        ).astype(jnp.uint32)  # (..., 2L), each < 2^21
+        return self._reduce(cols)
+
+    def _reduce(self, cols):
+        """Montgomery-reduce 2L columns (values < ~2^26) to canonical L limbs."""
+        L = self.L
+        n = jnp.asarray(self.n_limbs)
+        pad_hi = 2 * L - L - 1  # zeros after the phi block
+
+        def step(cols, _):
+            m = (cols[..., 0] * self.n0_inv) & MASK16
+            p = m[..., None] * n  # (..., L) exact uint32
+            zeros_l = jnp.zeros_like(cols[..., :L])
+            add_lo = jnp.concatenate([p & MASK16, zeros_l], axis=-1)
+            add_hi = jnp.concatenate(
+                [jnp.zeros_like(cols[..., :1]), p >> 16, zeros_l[..., : pad_hi]],
+                axis=-1,
+            )
+            cols = cols + add_lo + add_hi
+            carry = cols[..., 0] >> 16  # low 16 bits are zero by construction
+            cols = jnp.roll(cols, -1, axis=-1)
+            cols = cols.at[..., -1].set(0)
+            cols = cols.at[..., 0].add(carry)
+            return cols, None
+
+        cols, _ = jax.lax.scan(step, cols, None, length=L)
+        out = self._carry_limbs(cols, L + 1)
+        return self._cond_sub_n(out)
+
+    def add(self, a, b):
+        s = jnp.asarray(a, jnp.uint32) + jnp.asarray(b, jnp.uint32)
+        s = jnp.concatenate([s, jnp.zeros_like(s[..., :1])], axis=-1)
+        out = self._carry_limbs(s, self.L + 1)
+        return self._cond_sub_n(out)
+
+    def sub(self, a, b):
+        L = self.L
+        a, b = jnp.broadcast_arrays(jnp.asarray(a, jnp.uint32), jnp.asarray(b, jnp.uint32))
+        at, bt = jnp.moveaxis(a, -1, 0), jnp.moveaxis(b, -1, 0)
+
+        def body(borrow, xs):
+            ak, bk = xs
+            t = ak - bk - borrow
+            return (t >> 16) & jnp.uint32(1), t & MASK16
+
+        borrow, diff_t = jax.lax.scan(body, jnp.zeros(a.shape[:-1], jnp.uint32), (at, bt))
+        diff = jnp.moveaxis(diff_t, 0, -1)
+        # if borrow: add N back (carry out of the top limb cancels the borrow)
+        n = jnp.asarray(self.n_limbs)
+        fixed = self._carry_limbs(diff + n, L)
+        return jnp.where((borrow == 1)[..., None], fixed, diff)
+
+    def neg(self, a):
+        return self.sub(jnp.zeros_like(jnp.asarray(a)), a)
+
+    def is_zero(self, a):
+        return jnp.all(jnp.asarray(a) == 0, axis=-1)
+
+    def eq(self, a, b):
+        return jnp.all(jnp.asarray(a) == jnp.asarray(b), axis=-1)
+
+    def select(self, cond, a, b):
+        """cond: (...) bool -> where(cond, a, b) over limb arrays."""
+        return jnp.where(jnp.asarray(cond)[..., None], a, b)
+
+    def to_mont(self, a_std):
+        return self.mul(a_std, jnp.asarray(self.r2))
+
+    def from_mont(self, a_mont):
+        L = self.L
+        one = jnp.zeros_like(jnp.asarray(a_mont)).at[..., 0].set(1)
+        return self.mul(a_mont, one)
+
+    def sq(self, a):
+        return self.mul(a, a)
+
+    def pow_fixed(self, a, exp_bits):
+        """a^e with e given as a static MSB-first bit array (square & multiply)."""
+        res = jnp.broadcast_to(jnp.asarray(self.one_mont), jnp.asarray(a).shape)
+        for bit in exp_bits:
+            res = self.sq(res)
+            if int(bit):
+                res = self.mul(res, a)
+        return res
+
+    def inv(self, a):
+        """Fermat inversion a^(N-2); returns garbage on zero input (as does
+        the reference's field inversion)."""
+        # scan over the (static) exponent bits to keep the graph small
+        bits = jnp.asarray(self.inv_bits)  # MSB first
+
+        def body(res, bit):
+            res = self.sq(res)
+            res_mul = self.mul(res, a)
+            return self.select(bit == 1, res_mul, res), None
+
+        init = jnp.broadcast_to(jnp.asarray(self.one_mont), jnp.asarray(a).shape)
+        res, _ = jax.lax.scan(body, init, bits)
+        return res
+
+    def batch_inv(self, a):
+        """Montgomery's trick over the leading axis: one inv, 3(n-1) muls.
+
+        a: (n, ..., L); zero entries produce garbage (caller masks them).
+        """
+        n = a.shape[0]
+        prefix = [a[0]]
+        for i in range(1, n):
+            prefix.append(self.mul(prefix[-1], a[i]))
+        total_inv = self.inv(prefix[-1])
+        out = [None] * n
+        for i in range(n - 1, 0, -1):
+            out[i] = self.mul(total_inv, prefix[i - 1])
+            total_inv = self.mul(total_inv, a[i])
+        out[0] = total_inv
+        return jnp.stack(out, axis=0)
+
+
+@functools.cache
+def fr_ops() -> FieldOps:
+    return FieldOps(fr_spec())
+
+
+@functools.cache
+def fq_ops() -> FieldOps:
+    return FieldOps(fq_spec())
