@@ -1,0 +1,78 @@
+"""Level-parallel Merkle tree over Pedersen digests.
+
+Replaces crypto3::containers make_merkle_tree / merkle_proof (SURVEY.md §2B
+`containers` row; reference common.hpp:956-958,1026-1027,616-636) with a
+batched device build: every level is one Pedersen kernel call over all nodes
+of that level (the reference builds the tree serially node-by-node).
+
+Tree layout (matches our marshalling spec, docs/WIRE_FORMATS.md):
+  * leaves are voter public keys (255-bit arrays);
+  * level-0 node digest = H(leaf bits); parent = H(left ‖ right) (510 bits);
+  * the serialized tree is all node digests, leaf level first, root last —
+    2^(d+1)-1 digests for depth d.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from ..params import DIGEST_BITS, PUBLIC_KEY_BITS
+from . import pedersen_ops as po
+
+
+def build_tree(leaf_bits: np.ndarray) -> list[np.ndarray]:
+    """leaf_bits: (2^d, 255) 0/1 -> list of per-level digest arrays
+    [level0 (2^d, 255), level1 (2^(d-1), 255), ..., root (1, 255)]."""
+    n = leaf_bits.shape[0]
+    assert n & (n - 1) == 0 and n >= 1
+    hash_leaf = jax.jit(lambda b: po.pedersen_hash_bits(b, PUBLIC_KEY_BITS))
+    hash_node = jax.jit(lambda b: po.pedersen_hash_bits(b, 2 * DIGEST_BITS))
+    levels = [np.asarray(hash_leaf(leaf_bits))]
+    while levels[-1].shape[0] > 1:
+        cur = levels[-1]
+        paired = cur.reshape(cur.shape[0] // 2, 2 * DIGEST_BITS)
+        levels.append(np.asarray(hash_node(paired)))
+    return levels
+
+
+def root(levels: list[np.ndarray]) -> np.ndarray:
+    return levels[-1][0]
+
+
+def flatten_tree(levels: list[np.ndarray]) -> np.ndarray:
+    """All node digests, leaf level first -> (2^(d+1)-1, 255)."""
+    return np.concatenate(levels, axis=0)
+
+
+def unflatten_tree(flat: np.ndarray, depth: int) -> list[np.ndarray]:
+    levels, off = [], 0
+    n = 1 << depth
+    while n >= 1:
+        levels.append(flat[off : off + n])
+        off += n
+        n //= 2
+    assert off == flat.shape[0]
+    return levels
+
+
+def copath(levels: list[np.ndarray], index: int) -> np.ndarray:
+    """Sibling digests bottom-up for the given leaf index -> (depth, 255)."""
+    sibs = []
+    idx = index
+    for lvl in levels[:-1]:
+        sibs.append(lvl[idx ^ 1])
+        idx //= 2
+    return np.stack(sibs, axis=0)
+
+
+def verify_path(leaf_digest: np.ndarray, index: int, sibs: np.ndarray, root_bits: np.ndarray) -> bool:
+    """Host-side path check (test helper mirroring the in-circuit gadget)."""
+    hash_node = jax.jit(lambda b: po.pedersen_hash_bits(b, 2 * DIGEST_BITS))
+    cur = leaf_digest
+    idx = index
+    for s in np.asarray(sibs):
+        pair = np.concatenate([s, cur] if idx & 1 else [cur, s])
+        cur = np.asarray(hash_node(pair[None, :]))[0]
+        idx //= 2
+    return bool(np.array_equal(cur, root_bits))
