@@ -8,6 +8,9 @@ via __graft_entry__.dryrun_multichip).  Must run before jax is imported.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# 32-bit limbs in uint64 on CPU (native width, ~10x faster than the TPU
+# uint32/16-bit layout which CPU has no fast path for).
+os.environ.setdefault("VSTPU_LIMB_BITS", "32")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -91,7 +91,7 @@ class TestMSM:
         tbl = msm.FixedBaseTable(rc.g1_gen, "g1")
         ks = [rng.randrange(R) for _ in range(8)] + [0, 1]
         got = co.g1_from_device(
-            jax.jit(lambda d: tbl.mul(co.g1_ops(), d))(msm.scalars_to_window_digits(ks))
+            jax.jit(lambda d: tbl.mul(co.g1_ops(), d))(tbl.digits(ks))
         )
         assert got == [rc.g1_mul(rc.g1_gen, k) for k in ks]
 
@@ -102,7 +102,7 @@ class TestMSM:
         ks[0] = 0  # zero scalar must drop out
         got = co.g1_from_device(
             jax.jit(lambda p, s: msm.msm_pippenger(co.g1_ops(), p, s))(
-                co.g1_to_device(pts), msm.scalars_to_u16_limbs(ks)
+                co.g1_to_device(pts), msm.scalars_to_limbs(ks)
             )
         )
         assert got[0] == rc.g1_multiexp(pts, ks)

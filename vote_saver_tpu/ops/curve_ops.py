@@ -109,6 +109,37 @@ class JacobianOps:
         out = tuple(f.select(q_inf & ~p_inf, pp, o) for pp, o in zip(p, out))
         return out
 
+    def add_distinct(self, p, q):
+        """Jacobian add assuming p != q whenever both are finite (no doubling
+        fallback — ~40% cheaper).  Safe for window-decomposition sums where
+        partial sums occupy disjoint scalar bit-ranges (fixed-base tables,
+        Pippenger bucket combination); NOT safe for arbitrary operands."""
+        f = self.f
+        x1, y1, z1 = p
+        x2, y2, z2 = q
+        z1z1 = f.sq(z1)
+        z2z2 = f.sq(z2)
+        u1 = f.mul(x1, z2z2)
+        u2 = f.mul(x2, z1z1)
+        s1 = f.mul(f.mul(y1, z2), z2z2)
+        s2 = f.mul(f.mul(y2, z1), z1z1)
+        h = f.sub(u2, u1)
+        rr = f.sub(s2, s1)
+        rr = f.add(rr, rr)
+        i = f.sq(f.add(h, h))
+        j = f.mul(h, i)
+        v = f.mul(u1, i)
+        x3 = f.sub(f.sub(f.sq(rr), j), f.add(v, v))
+        s1j = f.mul(s1, j)
+        y3 = f.sub(f.mul(rr, f.sub(v, x3)), f.add(s1j, s1j))
+        z3 = f.mul(f.sub(f.sq(f.add(z1, z2)), f.add(z1z1, z2z2)), h)
+        out = (x3, y3, z3)
+        p_inf = self.is_inf(p)
+        q_inf = self.is_inf(q)
+        out = tuple(f.select(p_inf, qq, o) for qq, o in zip(q, out))
+        out = tuple(f.select(q_inf & ~p_inf, pp, o) for pp, o in zip(p, out))
+        return out
+
     def neg(self, p):
         return (p[0], self.f.neg(p[1]), p[2])
 
@@ -175,13 +206,16 @@ class JacobianOps:
         acc, _ = jax.lax.scan(body, acc, digits_t)
         return acc
 
-    def sum_reduce(self, p, axis=0):
+    def sum_reduce(self, p, axis=0, distinct=False):
         """Log-depth sum of points over `axis` via a Hillis–Steele scan.
 
         One `add` instance in the scan body (compile-friendly); step s adds
         points[i + 2^s] into points[i], so after ceil(log2 n) steps index 0
-        holds the total.
+        holds the total.  distinct=True uses the cheaper no-doubling add
+        (valid when all partial sums are provably distinct, e.g. window
+        decompositions).
         """
+        adder = self.add_distinct if distinct else self.add
         coords = tuple(jnp.moveaxis(c, axis, 0) for c in p)
         n = coords[0].shape[0]
         if n == 1:
@@ -193,7 +227,7 @@ class JacobianOps:
         def body(pts, shift):
             shifted = tuple(jnp.roll(c, -shift, axis=0) for c in pts)
             valid = idx + shift < n
-            added = self.add(pts, shifted)
+            added = adder(pts, shifted)
             out = tuple(
                 jnp.where(valid.reshape((n,) + (1,) * (c.ndim - 1)), ac, c)
                 for ac, c in zip(added, pts)

@@ -13,10 +13,14 @@ import numpy as np
 from ..params import FieldSpec
 
 
+def limb_dtype(spec: FieldSpec):
+    return np.uint32 if spec.limb_bits == 16 else np.uint64
+
+
 def ints_to_limbs(xs, spec: FieldSpec) -> np.ndarray:
-    """Int / nested-list-of-int -> uint32 limb array with trailing dim L."""
+    """Int / nested-list-of-int -> unsigned limb array with trailing dim L."""
     arr = np.asarray(xs, dtype=object)
-    out = np.empty(arr.shape + (spec.num_limbs,), dtype=np.uint32)
+    out = np.empty(arr.shape + (spec.num_limbs,), dtype=limb_dtype(spec))
     flat = arr.reshape(-1)
     out_flat = out.reshape(-1, spec.num_limbs)
     for i, v in enumerate(flat):

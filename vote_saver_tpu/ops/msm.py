@@ -55,28 +55,31 @@ FB_NUM_WINDOWS = (255 + FB_WINDOW - 1) // FB_WINDOW  # 64
 
 
 class FixedBaseTable:
-    """Host-precomputed table: entry[w][d] = d * 2^(4w) * base (affine oracle),
-    shipped to device as Jacobian limb arrays of shape (W, 16, ...)."""
+    """Host-precomputed table: entry[w][d] = d * 2^(bw*w) * base, shipped to
+    device as Jacobian limb arrays (W, 2^bw, ...).  The per-scalar sum uses
+    distinct-operand adds: partial sums occupy disjoint scalar bit-ranges so
+    true doublings cannot occur (infinity handled by flags)."""
 
-    def __init__(self, base_affine_int, group: str = "g1"):
+    def __init__(self, base_affine_int, group: str = "g1", window_bits: int = 8):
         from ..refimpl import curves as rc
 
-        mul = rc.g1_mul if group == "g1" else rc.g2_mul
         add = rc.g1_add if group == "g1" else rc.g2_add
         to_dev = co.g1_to_device if group == "g1" else co.g2_to_device
         self.group = group
+        self.window_bits = window_bits
+        self.num_windows = (255 + window_bits - 1) // window_bits
         entries = []
         win_base = base_affine_int
-        for w in range(FB_NUM_WINDOWS):
+        for w in range(self.num_windows):
             row = [None]
-            for d in range(1, 1 << FB_WINDOW):
+            for d in range(1, 1 << window_bits):
                 row.append(add(row[-1], win_base))
             entries.extend(row)
-            for _ in range(FB_WINDOW):
+            for _ in range(window_bits):
                 win_base = add(win_base, win_base)
-        flat = to_dev(entries)  # (W * 16, ...)
+        flat = to_dev(entries)
         self.table = tuple(
-            c.reshape(FB_NUM_WINDOWS, 1 << FB_WINDOW, *c.shape[1:]) for c in flat
+            c.reshape(self.num_windows, 1 << window_bits, *c.shape[1:]) for c in flat
         )
 
     def mul(self, ops: JacobianOps, digits):
@@ -86,7 +89,10 @@ class FixedBaseTable:
         gathered = tuple(
             jax.vmap(lambda t, d: t[d], in_axes=(0, 1))(c, digits) for c in self.table
         )
-        return ops.sum_reduce(gathered, axis=0)
+        return ops.sum_reduce(gathered, axis=0, distinct=True)
+
+    def digits(self, scalars) -> np.ndarray:
+        return scalars_to_window_digits(scalars, self.window_bits, self.num_windows)
 
 
 def scalars_to_window_digits(scalars, window=FB_WINDOW, num_windows=FB_NUM_WINDOWS) -> np.ndarray:
@@ -134,24 +140,29 @@ def _segmented_tree_sum(ops: JacobianOps, points, seg_ids):
     return points
 
 
-def msm_pippenger(ops: JacobianOps, points, scalars_u16, window_bits: int = 8):
+def msm_pippenger(ops: JacobianOps, points, scalar_limbs, window_bits: int = 8):
     """Pippenger MSM with sort-based bucket accumulation.
 
     points: Jacobian pytree, leading dim n.
-    scalars_u16: (n, 16) uint32 array of 16-bit little-endian scalar limbs
-      (natural output of the Fr limb layout, non-Montgomery).
-    window_bits must divide 16.
+    scalar_limbs: (n, L) little-endian plain (non-Montgomery) Fr limbs in the
+      active layout (see scalars_to_limbs).  window_bits must divide the limb
+      width.
     """
+    from ..params import fr_spec
+
+    lbits = fr_spec().limb_bits
+    points = tuple(jnp.asarray(c) for c in points)
+    scalar_limbs = jnp.asarray(scalar_limbs)
     n = points[0].shape[0]
     num_windows = 256 // window_bits
-    per_limb = 16 // window_bits
-    wmask = jnp.uint32((1 << window_bits) - 1)
+    per_limb = lbits // window_bits
+    wmask = scalar_limbs.dtype.type((1 << window_bits) - 1)
 
     # window digits: (n, num_windows)
     digs = []
     for w in range(num_windows):
-        limb = scalars_u16[:, w // per_limb]
-        digs.append((limb >> (window_bits * (w % per_limb))) & wmask)
+        limb = scalar_limbs[:, w // per_limb]
+        digs.append(((limb >> (window_bits * (w % per_limb))) & wmask).astype(jnp.uint32))
     digits = jnp.stack(digs, axis=1)
 
     def one_window(dig_w):
@@ -202,12 +213,13 @@ def msm_pippenger(ops: JacobianOps, points, scalars_u16, window_bits: int = 8):
     return acc
 
 
-def scalars_to_u16_limbs(scalars) -> np.ndarray:
-    """Ints -> (n, 16) uint32 array of 16-bit LE limbs (plain, not Montgomery)."""
-    arr = np.asarray(scalars, dtype=object).reshape(-1)
-    out = np.zeros((arr.shape[0], 16), dtype=np.uint32)
-    for i, v in enumerate(arr):
-        v = int(v) % R
-        for k in range(16):
-            out[i, k] = (v >> (16 * k)) & 0xFFFF
-    return out
+def scalars_to_limbs(scalars) -> np.ndarray:
+    """Ints -> (n, L) plain (non-Montgomery) LE limbs in the active layout."""
+    from ..params import fr_spec
+    from . import limbs as lb
+
+    arr = np.asarray(scalars, dtype=object) % R
+    return lb.ints_to_limbs(arr, fr_spec())
+
+
+

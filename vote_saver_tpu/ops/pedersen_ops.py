@@ -83,11 +83,12 @@ def pedersen_point(digits, num_windows: int):
 def x_coord_bits(point) -> jnp.ndarray:
     """Extended point batch -> (batch, 255) little-endian digest bits."""
     jj = co.jj_ops()
+    lbits = fr_spec().limb_bits
     ax, _ = jj.to_affine(point)
-    x_std = jj.f.from_mont(ax)  # (batch, L) plain 16-bit limbs
-    shifts = jnp.arange(16, dtype=jnp.uint32)
-    bits = (x_std[..., :, None] >> shifts) & 1  # (batch, L, 16)
-    bits = bits.reshape(*x_std.shape[:-1], 16 * x_std.shape[-1])
+    x_std = jj.f.from_mont(ax)  # (batch, L) plain limbs
+    shifts = jnp.arange(lbits, dtype=x_std.dtype)
+    bits = (x_std[..., :, None] >> shifts) & x_std.dtype.type(1)  # (batch, L, lbits)
+    bits = bits.reshape(*x_std.shape[:-1], lbits * x_std.shape[-1])
     return bits[..., :DIGEST_BITS].astype(jnp.uint32)
 
 

@@ -133,11 +133,22 @@ class FieldSpec:
         return (x * self.mont_r_inv) % self.modulus
 
 
+def _limb_bits() -> int:
+    """16-bit limbs in uint32 (TPU: no native 64-bit ints, f32-matmul exact
+    accumulation) or 32-bit limbs in uint64 (CPU tests: native width, f64
+    matmuls — ~10x faster there).  Set VSTPU_LIMB_BITS before import."""
+    import os
+
+    return int(os.environ.get("VSTPU_LIMB_BITS", "16"))
+
+
 @functools.cache
 def fr_spec() -> FieldSpec:
-    return FieldSpec("fr", R, 16, 16)
+    b = _limb_bits()
+    return FieldSpec("fr", R, b, 256 // b)
 
 
 @functools.cache
 def fq_spec() -> FieldSpec:
-    return FieldSpec("fq", Q, 16, 24)
+    b = _limb_bits()
+    return FieldSpec("fq", Q, b, 384 // b)

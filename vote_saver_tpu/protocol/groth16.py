@@ -1,0 +1,396 @@
+"""Groth16 zk-SNARK over BLS12-381: setup / batched prove / verify.
+
+Replaces crypto3's r1cs_gg_ppzksnark (SURVEY.md §2B `zk` row; generate called
+at reference common.hpp:916-917, prove/verify inside the SAVER encrypt/verify
+wrappers per README.md:273).  TPU-first split:
+
+  * setup: QAP evaluation at tau on the host (sparse, one-time), CRS point
+    generation as chunked fixed-base multiplications on device;
+  * prove: witness -> A/B/C domain evaluations (host sparse matvec), the
+    H(t) = (AB-C)/Z_H division via device coset NTTs, then one G2 + four G1
+    MSMs per proof — batched over voters with vmap'd Pippenger;
+  * verify: 4-term pairing-product check on the host oracle.
+
+The QAP uses the libsnark-style input-consistency extension: the A-polynomial
+of each public wire i gains the extra Lagrange term L_{nc+i}, so the domain
+is the next power of two above num_constraints + num_primary + 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import R, fr_spec
+from ..circuit.r1cs import ConstraintSystem
+from ..ops import curve_ops as co
+from ..ops import limbs as lb
+from ..ops import msm as msm_mod
+from ..ops.field_ops import fr_ops
+from ..ops.ntt import get_ntt
+from ..backend import use_device
+from ..refimpl import curves as rc
+from ..refimpl import jacobian as rj
+from ..refimpl import pairing as rp
+from ..utils.rng import FrRandom
+
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class ProvingKey:
+    num_primary: int
+    num_vars: int  # including ONE
+    domain: int
+    # host affine int points (canonical storage; device arrays built lazily)
+    a_pts: list  # (num_vars,)
+    b1_pts: list
+    b2_pts: list  # G2
+    h_pts: list  # (domain - 1,)
+    l_pts: list  # (num_vars - num_primary - 1,)
+    # host ints
+    alpha_g1: tuple
+    beta_g1: tuple
+    beta_g2: tuple
+    delta_g1: tuple
+    delta_g2: tuple
+    # sparse matrices (host) for A/B/C evaluation
+    coo: dict
+    num_constraints: int
+    _dev: dict = dataclasses.field(default_factory=dict, repr=False)
+
+    def dev(self, name: str):
+        """Device Jacobian arrays for query `name`, built on first use."""
+        if name not in self._dev:
+            pts = getattr(self, f"{name}_pts")
+            conv = co.g2_to_device if name == "b2" else co.g1_to_device
+            self._dev[name] = conv(pts)
+        return self._dev[name]
+
+
+@dataclasses.dataclass
+class VerificationKey:
+    alpha_g1: tuple
+    beta_g2: tuple
+    gamma_g2: tuple
+    delta_g2: tuple
+    ic: list  # host affine ints, length num_primary + 1 (index 0 = ONE wire)
+
+
+@dataclasses.dataclass
+class Proof:
+    a: tuple  # G1 affine ints
+    b: tuple  # G2 affine ints
+    c: tuple  # G1 affine ints
+
+
+# ---------------------------------------------------------------------------
+# Setup
+# ---------------------------------------------------------------------------
+
+
+def _batch_inv_host(xs: list[int]) -> list[int]:
+    """Montgomery-trick batch inversion of nonzero ints mod R."""
+    n = len(xs)
+    prefix = [1] * (n + 1)
+    for i, x in enumerate(xs):
+        prefix[i + 1] = prefix[i] * x % R
+    inv = pow(prefix[n], R - 2, R)
+    out = [0] * n
+    for i in range(n - 1, -1, -1):
+        out[i] = prefix[i] * inv % R
+        inv = inv * xs[i] % R
+    return out
+
+
+_FB_CHUNK = 2048
+
+
+def _fixed_base_batch(group: str, scalars: list[int]):
+    """Fixed-base multiplication of many scalars; returns host affine points.
+
+    Device path (TPU): chunked window-table kernel; host path: sequential
+    windowed adds (faster than lane-parallel XLA on CPU)."""
+    if not use_device():
+        return _fb_host(group).mul_many(scalars)
+    table = _fb_table(group)
+    from_dev = co.g1_from_device if group == "g1" else co.g2_from_device
+    fn = _fb_jit(group)
+    out = []
+    for off in range(0, len(scalars), _FB_CHUNK):
+        chunk = scalars[off : off + _FB_CHUNK]
+        padded = chunk + [0] * (_FB_CHUNK - len(chunk))
+        res = fn(table.digits(padded))
+        out.extend(from_dev(res)[: len(chunk)])
+    return out
+
+
+_fb_host_cache: dict = {}
+
+
+def _fb_host(group: str):
+    if group not in _fb_host_cache:
+        base = rc.g1_gen if group == "g1" else rc.g2_gen
+        _fb_host_cache[group] = rj.FixedBaseHost(base, group)
+    return _fb_host_cache[group]
+
+
+_fb_cache: dict = {}
+
+
+def _fb_table(group: str):
+    if group not in _fb_cache:
+        base = rc.g1_gen if group == "g1" else rc.g2_gen
+        _fb_cache[group] = msm_mod.FixedBaseTable(base, group)
+    return _fb_cache[group]
+
+
+_fb_jit_cache: dict = {}
+
+
+def _fb_jit(group: str):
+    if group not in _fb_jit_cache:
+        table = _fb_table(group)
+        ops = co.g1_ops() if group == "g1" else co.g2_ops()
+        _fb_jit_cache[group] = jax.jit(lambda d: table.mul(ops, d))
+    return _fb_jit_cache[group]
+
+
+def qap_evaluate(cs: ConstraintSystem, tau: int):
+    """u_i(tau), v_i(tau), w_i(tau) for every wire, plus Z(tau) and domain."""
+    nc, ni, m = cs.num_constraints, cs.num_primary, cs.num_vars
+    domain = 1
+    while domain < nc + ni + 1:
+        domain *= 2
+    ntt = get_ntt(domain)
+    omega = ntt.w
+    z_tau = (pow(tau, domain, R) - 1) % R
+    # L_k(tau) = Z(tau) * omega^k / (domain * (tau - omega^k))
+    omega_pows = [1] * domain
+    for k in range(1, domain):
+        omega_pows[k] = omega_pows[k - 1] * omega % R
+    denoms = [(tau - omega_pows[k]) % R for k in range(domain)]
+    denom_inv = _batch_inv_host(denoms)
+    n_inv = pow(domain, R - 2, R)
+    lag = [z_tau * omega_pows[k] % R * n_inv % R * denom_inv[k] % R for k in range(domain)]
+
+    u = [0] * m
+    v = [0] * m
+    w = [0] * m
+    for k, (a, b, c) in enumerate(cs.constraints):
+        for var, coeff in a.items():
+            u[var] = (u[var] + coeff * lag[k]) % R
+        for var, coeff in b.items():
+            v[var] = (v[var] + coeff * lag[k]) % R
+        for var, coeff in c.items():
+            w[var] = (w[var] + coeff * lag[k]) % R
+    # input consistency: A-poly of public wire i (incl. ONE) += L_{nc+i}
+    for i in range(ni + 1):
+        u[i] = (u[i] + lag[nc + i]) % R
+    return u, v, w, z_tau, domain
+
+
+def setup(cs: ConstraintSystem, rng: FrRandom) -> tuple[ProvingKey, VerificationKey]:
+    nc, ni, m = cs.num_constraints, cs.num_primary, cs.num_vars
+    tau, alpha, beta, gamma, delta = (rng() for _ in range(5))
+    u, v, w, z_tau, domain = qap_evaluate(cs, tau)
+
+    gamma_inv = pow(gamma, R - 2, R)
+    delta_inv = pow(delta, R - 2, R)
+
+    ic_exp = [(beta * u[i] + alpha * v[i] + w[i]) % R * gamma_inv % R for i in range(ni + 1)]
+    l_exp = [(beta * u[i] + alpha * v[i] + w[i]) % R * delta_inv % R for i in range(ni + 1, m)]
+    h_exp = []
+    t_pow = 1
+    for j in range(domain - 1):
+        h_exp.append(t_pow * z_tau % R * delta_inv % R)
+        t_pow = t_pow * tau % R
+
+    g1_scalars = (
+        u + v + h_exp + l_exp + ic_exp + [alpha, beta, delta]
+    )
+    g1_points = _fixed_base_batch("g1", g1_scalars)
+    ofs = 0
+
+    def take(k):
+        nonlocal ofs
+        out = g1_points[ofs : ofs + k]
+        ofs += k
+        return out
+
+    a_pts = take(m)
+    b1_pts = take(m)
+    h_pts = take(domain - 1)
+    l_pts = take(m - ni - 1)
+    ic_pts = take(ni + 1)
+    alpha_g1, beta_g1, delta_g1 = take(3)
+
+    g2_points = _fixed_base_batch("g2", v + [beta, gamma, delta])
+    b2_pts = g2_points[:m]
+    beta_g2, gamma_g2, delta_g2 = g2_points[m : m + 3]
+
+    pk = ProvingKey(
+        num_primary=ni,
+        num_vars=m,
+        domain=domain,
+        a_pts=a_pts,
+        b1_pts=b1_pts,
+        b2_pts=b2_pts,
+        h_pts=h_pts,
+        l_pts=l_pts,
+        alpha_g1=alpha_g1,
+        beta_g1=beta_g1,
+        beta_g2=beta_g2,
+        delta_g1=delta_g1,
+        delta_g2=delta_g2,
+        coo=cs.to_coo(),
+        num_constraints=nc,
+    )
+    vk = VerificationKey(
+        alpha_g1=alpha_g1, beta_g2=beta_g2, gamma_g2=gamma_g2, delta_g2=delta_g2, ic=ic_pts
+    )
+    return pk, vk
+
+
+# ---------------------------------------------------------------------------
+# Prove
+# ---------------------------------------------------------------------------
+
+
+def _abc_evaluations(pk: ProvingKey, wvals: np.ndarray) -> tuple[np.ndarray, ...]:
+    """Host sparse matvec: witness (B, m) object ints -> A/B/C evals (B, n)."""
+    B = wvals.shape[0]
+    n = pk.domain
+    outs = []
+    for name in ("a", "b", "c"):
+        rows, cols, coeffs = pk.coo[name]
+        ev = np.zeros((B, n), dtype=object)
+        for r_i, c_i, cf in zip(rows, cols, coeffs):
+            ev[:, r_i] = (ev[:, r_i] + cf * wvals[:, c_i]) % R
+        outs.append(ev)
+    a_ev, b_ev, c_ev = outs
+    # input-consistency rows
+    for i in range(pk.num_primary + 1):
+        a_ev[:, pk.num_constraints + i] = wvals[:, i]
+    return a_ev, b_ev, c_ev
+
+
+def _h_coeffs_device(pk: ProvingKey):
+    ntt = get_ntt(pk.domain)
+    f = fr_ops()
+
+    def h_fn(a_ev, b_ev, c_ev):
+        ca = ntt.coset_ntt(ntt.intt(a_ev))
+        cb = ntt.coset_ntt(ntt.intt(b_ev))
+        cc = ntt.coset_ntt(ntt.intt(c_ev))
+        h_ev = f.mul(f.sub(f.mul(ca, cb), cc), jnp.asarray(ntt.zh_coset_inv_limbs))
+        h = ntt.coset_intt(h_ev)
+        return f.from_mont(h)  # standard-form limbs = MSM scalar format
+
+    return jax.jit(h_fn)
+
+
+_prove_jit_cache: dict = {}
+
+
+def _prove_msm_fn(pk_id: int, pk: ProvingKey):
+    if pk_id not in _prove_jit_cache:
+        g1, g2 = co.g1_ops(), co.g2_ops()
+
+        def msms(w_scalars, aux_scalars, h_scalars):
+            pip = lambda ops, pts, s: msm_mod.msm_pippenger(ops, pts, s)
+            a = jax.vmap(lambda s: pip(g1, pk.dev("a"), s))(w_scalars)
+            b1 = jax.vmap(lambda s: pip(g1, pk.dev("b1"), s))(w_scalars)
+            b2 = jax.vmap(lambda s: pip(g2, pk.dev("b2"), s))(w_scalars)
+            l = jax.vmap(lambda s: pip(g1, pk.dev("l"), s))(aux_scalars)
+            h = jax.vmap(lambda s: pip(g1, pk.dev("h"), s))(h_scalars)
+            return a, b1, b2, l, h
+
+        _prove_jit_cache[pk_id] = jax.jit(msms)
+    return _prove_jit_cache[pk_id]
+
+
+def _h_scalars(pk: ProvingKey, wvals: np.ndarray) -> np.ndarray:
+    """H(t) coefficients as plain limb arrays, via device coset NTTs."""
+    spec = fr_spec()
+    a_ev, b_ev, c_ev = _abc_evaluations(pk, wvals)
+    h_fn = _h_coeffs_device(pk)
+    h_std = np.asarray(
+        h_fn(
+            lb.ints_to_mont_limbs(a_ev, spec),
+            lb.ints_to_mont_limbs(b_ev, spec),
+            lb.ints_to_mont_limbs(c_ev, spec),
+        )
+    )  # (B, n, L) standard-form limbs
+    return h_std[:, : pk.domain - 1, :]
+
+
+def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
+    """wvals: (B, num_vars) object ints (full assignments, col 0 == 1)."""
+    B = wvals.shape[0]
+    spec = fr_spec()
+    h_scalars = _h_scalars(pk, wvals)
+
+    if use_device():
+        w_scalars = np.stack([msm_mod.scalars_to_limbs(wvals[i]) for i in range(B)])
+        aux_scalars = np.stack(
+            [msm_mod.scalars_to_limbs(wvals[i, pk.num_primary + 1 :]) for i in range(B)]
+        )
+        msm_fn = _prove_msm_fn(id(pk), pk)
+        a_j, b1_j, b2_j, l_j, h_j = msm_fn(w_scalars, aux_scalars, h_scalars)
+        a_pts = co.g1_from_device(a_j)
+        b1_pts = co.g1_from_device(b1_j)
+        b2_pts = co.g2_from_device(b2_j)
+        l_pts = co.g1_from_device(l_j)
+        h_pts = co.g1_from_device(h_j)
+    else:
+        h_ints = lb.limbs_to_ints(h_scalars, spec)
+        a_pts, b1_pts, b2_pts, l_pts, h_pts = [], [], [], [], []
+        for i in range(B):
+            wl = [int(x) for x in wvals[i]]
+            a_pts.append(rj.msm_host(pk.a_pts, wl))
+            b1_pts.append(rj.msm_host(pk.b1_pts, wl))
+            b2_pts.append(rj.msm_host(pk.b2_pts, wl, group="g2"))
+            l_pts.append(rj.msm_host(pk.l_pts, wl[pk.num_primary + 1 :]))
+            h_pts.append(rj.msm_host(pk.h_pts, [int(x) for x in h_ints[i]]))
+
+    proofs = []
+    for i in range(B):
+        r, s = rng(), rng()
+        a = rc.g1_add(rc.g1_add(pk.alpha_g1, a_pts[i]), rc.g1_mul(pk.delta_g1, r))
+        b2 = rc.g2_add(rc.g2_add(pk.beta_g2, b2_pts[i]), rc.g2_mul(pk.delta_g2, s))
+        b1 = rc.g1_add(rc.g1_add(pk.beta_g1, b1_pts[i]), rc.g1_mul(pk.delta_g1, s))
+        c = rc.g1_add(l_pts[i], h_pts[i])
+        c = rc.g1_add(c, rc.g1_mul(a, s))
+        c = rc.g1_add(c, rc.g1_mul(b1, r))
+        c = rc.g1_add(c, rc.g1_neg(rc.g1_mul(pk.delta_g1, r * s % R)))
+        proofs.append(Proof(a=a, b=b2, c=c))
+    return proofs
+
+
+# ---------------------------------------------------------------------------
+# Verify (host pairings)
+# ---------------------------------------------------------------------------
+
+
+def ic_combine(vk: VerificationKey, primary: list[int]):
+    acc = vk.ic[0]
+    for a_i, pt in zip(primary, vk.ic[1:]):
+        acc = rc.g1_add(acc, rc.g1_mul(pt, a_i))
+    return acc
+
+
+def verify(vk: VerificationKey, primary: list[int], proof: Proof) -> bool:
+    """e(A,B) == e(alpha,beta) * e(IC(primary), gamma) * e(C, delta)."""
+    icp = ic_combine(vk, primary)
+    return rp.pairing_check(
+        [
+            (proof.a, proof.b),
+            (rc.g1_neg(vk.alpha_g1), vk.beta_g2),
+            (rc.g1_neg(icp), vk.gamma_g2),
+            (rc.g1_neg(proof.c), vk.delta_g2),
+        ]
+    )

@@ -1,0 +1,236 @@
+"""TpuSaver: SAVER-style verifiable additively-homomorphic encryption.
+
+Scheme spec: docs/SAVER_SPEC.md.  API mirrors crypto3's elgamal_verifiable
+free functions (reference common.hpp call sites: keygen :925-931, encrypt
+:1132-1135, rerandomize :1143-1145, decrypt :1220-1223, verify_encryption
+:1164-1168, verify_decryption :1282-1284).  Ciphertext = n+2 G1 points.
+
+Group work runs on the host oracle here (these are per-election or
+per-ballot-constant-cost ops); the batched-over-voters encryption path for
+bench scale lives in phases.py / parallel/.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from ..params import R
+from ..refimpl import curves as rc
+from ..refimpl import field as rf
+from ..refimpl import jacobian as rj
+from ..refimpl import pairing as rp
+from ..utils.rng import FrRandom
+from .groth16 import Proof, VerificationKey
+
+
+@dataclasses.dataclass
+class SaverPublicKey:
+    s_pts: list  # S_i = g^{s_i}, i = 1..n
+    x_psi: tuple  # g^{t_0 + sum s_i t_i}
+    y_pts: list  # Y_i = P_i^{t_i}
+
+    @property
+    def n(self):
+        return len(self.s_pts)
+
+
+@dataclasses.dataclass
+class SaverSecretKey:
+    s: list  # s_1..s_n
+
+
+@dataclasses.dataclass
+class SaverVerificationKey:
+    v_pts: list  # V_i = h^{s_i} in G2
+    z_pts: list  # Z_0..Z_n in G2
+    gamma_s: tuple  # gamma_h^{sum s_i} in G2
+
+
+@dataclasses.dataclass
+class Ciphertext:
+    """(c_0, c_1..c_n, psi) — n+2 G1 points, componentwise addable."""
+
+    points: list
+
+    def __add__(self, other: "Ciphertext") -> "Ciphertext":
+        assert len(self.points) == len(other.points), "Wrong size of the ct!"
+        return Ciphertext([rc.g1_add(a, b) for a, b in zip(self.points, other.points)])
+
+
+@dataclasses.dataclass
+class DecryptionProof:
+    d_pts: list  # D_i = c_0^{s_i}
+
+
+def message_bases(gvk: VerificationKey, n: int) -> list:
+    """P_i = IC_i for the message wires (primary wires 1..n)."""
+    return gvk.ic[1 : n + 1]
+
+
+def keygen(gvk: VerificationKey, n: int, rnd: list[int]):
+    """rnd: >= 2n+1 uniform Fr scalars (the reference draws 3n+2; extras are
+    reserved — see docs/SAVER_SPEC.md)."""
+    assert len(rnd) >= 2 * n + 1
+    s = [x % R for x in rnd[:n]]
+    t = [x % R for x in rnd[n : 2 * n + 1]]  # t_0..t_n
+    p_bases = message_bases(gvk, n)
+    s_pts = [rc.g1_mul(rc.g1_gen, si) for si in s]
+    x_psi_exp = (t[0] + sum(si * ti for si, ti in zip(s, t[1:]))) % R
+    x_psi = rc.g1_mul(rc.g1_gen, x_psi_exp)
+    y_pts = [rc.g1_mul(p, ti) for p, ti in zip(p_bases, t[1:])]
+    v_pts = [rc.g2_mul(rc.g2_gen, si) for si in s]
+    z_pts = [rc.g2_mul(rc.g2_gen, ti) for ti in t]
+    gamma_s = rc.g2_mul(gvk.gamma_g2, sum(s) % R)
+    return (
+        SaverPublicKey(s_pts=s_pts, x_psi=x_psi, y_pts=y_pts),
+        SaverSecretKey(s=s),
+        SaverVerificationKey(v_pts=v_pts, z_pts=z_pts, gamma_s=gamma_s),
+    )
+
+
+def encrypt(pk: SaverPublicKey, gvk: VerificationKey, m: list[int], r: int) -> Ciphertext:
+    """m: length-n small message vector (one-hot ballot)."""
+    n = pk.n
+    p_bases = message_bases(gvk, n)
+    c0 = rc.g1_mul(rc.g1_gen, r)
+    cs = []
+    for i in range(n):
+        ci = rc.g1_mul(pk.s_pts[i], r)
+        if m[i]:
+            ci = rc.g1_add(ci, rc.g1_mul(p_bases[i], m[i]))
+        cs.append(ci)
+    psi = rc.g1_mul(pk.x_psi, r)
+    for i in range(n):
+        if m[i]:
+            psi = rc.g1_add(psi, rc.g1_mul(pk.y_pts[i], m[i]))
+    return Ciphertext([c0] + cs + [psi])
+
+
+def rerandomize(
+    pk: SaverPublicKey,
+    delta_g2,
+    ct: Ciphertext,
+    proof: Proof,
+    rnd: list[int],
+) -> tuple[Ciphertext, Proof]:
+    """3 fresh scalars (z1, z2, r'), as in the reference (common.hpp:1143):
+    re-blind the ciphertext with r' and the Groth16 proof with (z1, z2)."""
+    z1, z2, r2 = (x % R for x in rnd[:3])
+    if z1 == 0:
+        z1 = 1
+    c0 = rc.g1_add(ct.points[0], rc.g1_mul(rc.g1_gen, r2))
+    cs = [
+        rc.g1_add(ci, rc.g1_mul(si, r2))
+        for ci, si in zip(ct.points[1:-1], pk.s_pts)
+    ]
+    psi = rc.g1_add(ct.points[-1], rc.g1_mul(pk.x_psi, r2))
+    a = rc.g1_mul(proof.a, pow(z1, R - 2, R))
+    b = rc.g2_add(rc.g2_mul(proof.b, z1), rc.g2_mul(delta_g2, z1 * z2 % R))
+    c = rc.g1_add(proof.c, rc.g1_mul(proof.a, z2))
+    return Ciphertext([c0] + cs + [psi]), Proof(a=a, b=b, c=c)
+
+
+def verify_encryption(
+    gvk: VerificationKey,
+    svk: SaverVerificationKey,
+    ct: Ciphertext,
+    proof: Proof,
+    rest_primary: list[int],
+) -> bool:
+    """Checks (1) encrypted-Groth16 and (2) ciphertext well-formedness.
+
+    rest_primary: public wires after the message block (packed eid/sn/rt),
+    exactly pinput[m.size()..] as the reference passes (common.hpp:1164-1168).
+    """
+    n = len(ct.points) - 2
+    c0, cs, psi = ct.points[0], ct.points[1:-1], ct.points[-1]
+    # (1): e(A,B) * e(c0, Gamma) * e(-D, gamma) * e(-C, delta) == e(alpha, beta)
+    d = gvk.ic[0]
+    for a_i, pt in zip(rest_primary, gvk.ic[n + 1 :]):
+        d = rc.g1_add(d, rc.g1_mul(pt, a_i))
+    for ci in cs:
+        d = rc.g1_add(d, ci)
+    ok1 = rp.pairing_check(
+        [
+            (proof.a, proof.b),
+            (c0, svk.gamma_s),
+            (rc.g1_neg(gvk.alpha_g1), gvk.beta_g2),
+            (rc.g1_neg(d), gvk.gamma_g2),
+            (rc.g1_neg(proof.c), gvk.delta_g2),
+        ]
+    )
+    if not ok1:
+        return False
+    # (2): e(psi, h) == e(c0, Z_0) * prod e(c_i, Z_i)
+    pairs = [(rc.g1_neg(psi), rc.g2_gen), (c0, svk.z_pts[0])]
+    pairs += [(ci, zi) for ci, zi in zip(cs, svk.z_pts[1:])]
+    return rp.pairing_check(pairs)
+
+
+def _bsgs_dlog(base, target, bound: int) -> int | None:
+    """m with target == m * base, 0 <= m <= bound (baby-step giant-step)."""
+    if target is None:
+        return 0
+    step = max(1, int(bound**0.5) + 1)
+    baby = {}
+    cur = None
+    for j in range(step + 1):
+        baby[cur] = j
+        cur = rc.g1_add(cur, base)
+    giant_stride = rc.g1_neg(rc.g1_mul(base, step))
+    cur = target
+    for i in range(step + 2):
+        if cur in baby:
+            m = i * step + baby[cur]
+            if m <= bound:
+                return m
+        cur = rc.g1_add(cur, giant_stride)
+    return None
+
+
+def decrypt(
+    sk: SaverSecretKey,
+    gvk: VerificationKey,
+    ct: Ciphertext,
+    max_count: int,
+) -> tuple[list[int], DecryptionProof]:
+    n = len(sk.s)
+    assert len(ct.points) == n + 2
+    c0, cs = ct.points[0], ct.points[1:-1]
+    p_bases = message_bases(gvk, n)
+    d_pts = [rc.g1_mul(c0, si) for si in sk.s]
+    counts = []
+    for i in range(n):
+        m_pt = rc.g1_add(cs[i], rc.g1_neg(d_pts[i]))
+        m_i = _bsgs_dlog(p_bases[i], m_pt, max_count)
+        assert m_i is not None, "decryption failed: count out of range"
+        counts.append(m_i)
+    return counts, DecryptionProof(d_pts=d_pts)
+
+
+def verify_decryption(
+    gvk: VerificationKey,
+    svk: SaverVerificationKey,
+    ct: Ciphertext,
+    counts: list[int],
+    proof: DecryptionProof,
+    rng: FrRandom | None = None,
+) -> bool:
+    n = len(svk.v_pts)
+    if len(ct.points) != n + 2 or len(counts) != n or len(proof.d_pts) != n:
+        return False
+    c0, cs = ct.points[0], ct.points[1:-1]
+    p_bases = message_bases(gvk, n)
+    # slot equations: c_i - D_i == counts_i * P_i
+    for i in range(n):
+        lhs = rc.g1_add(cs[i], rc.g1_neg(proof.d_pts[i]))
+        if lhs != rc.g1_mul(p_bases[i], counts[i]):
+            return False
+    # batched pairing check: e(sum rho_i D_i, h) == e(c0, sum rho_i V_i)
+    rng = rng or FrRandom()
+    rhos = [rng() for _ in range(n)]
+    d_comb = rj.msm_host(proof.d_pts, rhos)
+    v_comb = rj.msm_host(svk.v_pts, rhos, group="g2")
+    return rp.pairing_check(
+        [(d_comb, rc.g2_gen), (rc.g1_neg(c0), v_comb)]
+    )
