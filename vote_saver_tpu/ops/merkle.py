@@ -17,8 +17,19 @@ from __future__ import annotations
 import jax
 import numpy as np
 
+from ..backend import use_device
 from ..params import DIGEST_BITS, PUBLIC_KEY_BITS
 from . import pedersen_ops as po
+
+
+def _hash_rows(rows: np.ndarray, nbits: int) -> np.ndarray:
+    """Batch Pedersen: device kernel on TPU, host oracle otherwise (the CPU
+    XLA path pays tens of seconds of compile for nothing at small scale)."""
+    if use_device():
+        return np.asarray(jax.jit(lambda b: po.pedersen_hash_bits(b, nbits))(rows))
+    from ..refimpl import pedersen as rpd
+
+    return np.array([rpd.pedersen_hash(list(map(int, r))) for r in rows], np.uint32)
 
 
 def build_tree(leaf_bits: np.ndarray) -> list[np.ndarray]:
@@ -26,13 +37,11 @@ def build_tree(leaf_bits: np.ndarray) -> list[np.ndarray]:
     [level0 (2^d, 255), level1 (2^(d-1), 255), ..., root (1, 255)]."""
     n = leaf_bits.shape[0]
     assert n & (n - 1) == 0 and n >= 1
-    hash_leaf = jax.jit(lambda b: po.pedersen_hash_bits(b, PUBLIC_KEY_BITS))
-    hash_node = jax.jit(lambda b: po.pedersen_hash_bits(b, 2 * DIGEST_BITS))
-    levels = [np.asarray(hash_leaf(leaf_bits))]
+    levels = [_hash_rows(np.asarray(leaf_bits), PUBLIC_KEY_BITS)]
     while levels[-1].shape[0] > 1:
         cur = levels[-1]
         paired = cur.reshape(cur.shape[0] // 2, 2 * DIGEST_BITS)
-        levels.append(np.asarray(hash_node(paired)))
+        levels.append(_hash_rows(paired, 2 * DIGEST_BITS))
     return levels
 
 
@@ -68,11 +77,10 @@ def copath(levels: list[np.ndarray], index: int) -> np.ndarray:
 
 def verify_path(leaf_digest: np.ndarray, index: int, sibs: np.ndarray, root_bits: np.ndarray) -> bool:
     """Host-side path check (test helper mirroring the in-circuit gadget)."""
-    hash_node = jax.jit(lambda b: po.pedersen_hash_bits(b, 2 * DIGEST_BITS))
-    cur = leaf_digest
+    cur = np.asarray(leaf_digest)
     idx = index
     for s in np.asarray(sibs):
         pair = np.concatenate([s, cur] if idx & 1 else [cur, s])
-        cur = np.asarray(hash_node(pair[None, :]))[0]
+        cur = _hash_rows(pair[None, :], 2 * DIGEST_BITS)[0]
         idx //= 2
-    return bool(np.array_equal(cur, root_bits))
+    return bool(np.array_equal(cur, np.asarray(root_bits)))

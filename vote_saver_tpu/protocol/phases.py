@@ -1,0 +1,278 @@
+"""The six protocol phase functions — the framework's L1 API.
+
+Blob-in/blob-out signatures mirror the reference's
+process_encrypted_input_mode_* functions (common.hpp:824-1293) so a user of
+the reference CLI/WASM/JNI surface finds the same API here; additionally the
+vote phase is batched over voters (the TPU-native axis the reference lacks,
+SURVEY.md §2D).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..params import (
+    R,
+    MSG_SIZE,
+    SECRET_KEY_BITS,
+    PUBLIC_KEY_BITS,
+    DIGEST_BITS,
+    DEFAULT_EID_BITS,
+    DEFAULT_TREE_DEPTH,
+)
+from ..circuit.voting import build_voting_circuit
+from ..ops import merkle
+from ..refimpl import pedersen as rpd
+from ..utils.rng import FrRandom
+from . import groth16, marshal as M, saver
+
+
+# ---------------------------------------------------------------------------
+# Phase 1 — voter key generation (reference common.hpp:824-847)
+# ---------------------------------------------------------------------------
+
+
+def init_voter_phase(voter_idx: int, rng: FrRandom | None = None) -> tuple[bytes, bytes]:
+    """Random 255-bit sk; pk = Pedersen(sk).  Returns (pk_blob, sk_blob)."""
+    rng = rng or FrRandom()
+    sk_bits = rng.bits(SECRET_KEY_BITS)
+    pk_bits = rpd.pedersen_hash(sk_bits)
+    return M.ser_bitarray(pk_bits), M.ser_bitarray(sk_bits)
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 — admin key generation (reference common.hpp:849-941)
+# ---------------------------------------------------------------------------
+
+
+def init_admin_phase_generate_keys(
+    tree_depth: int,
+    eid_bits: int = DEFAULT_EID_BITS,
+    rng: FrRandom | None = None,
+) -> tuple[bytes, bytes, bytes, bytes, bytes]:
+    """Builds the R1CS once per tree depth, runs Groth16 setup, generates the
+    SAVER keypair from msg_size*3+2 scalars.  Returns
+    (pk_crs_blob, vk_crs_blob, pk_eid_blob, sk_eid_blob, vk_eid_blob)."""
+    rng = rng or FrRandom()
+    circ = build_voting_circuit(tree_depth, eid_bits)
+    pk, vk = groth16.setup(circ.cs, rng)
+    rnd = [rng() for _ in range(MSG_SIZE * 3 + 2)]
+    spk, ssk, svk = saver.keygen(vk, MSG_SIZE, rnd)
+    return (
+        M.ser_groth16_pk(pk),
+        M.ser_groth16_vk(vk),
+        M.ser_saver_pk(spk),
+        M.ser_saver_sk(ssk),
+        M.ser_saver_vk(svk),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — admin election data (reference common.hpp:943-983)
+# ---------------------------------------------------------------------------
+
+
+def init_admin_phase_generate_data(
+    tree_depth: int,
+    eid_bits: int,
+    public_keys_blobs: list[bytes],
+    rng: FrRandom | None = None,
+) -> tuple[bytes, bytes, bytes]:
+    """Merkle tree over <= 2^depth voter pks (zero-padded), random eid.
+    Returns (eid_blob, rt_blob, merkle_tree_blob)."""
+    rng = rng or FrRandom()
+    n = 1 << tree_depth
+    assert len(public_keys_blobs) <= n
+    pks = [M.de_bitarray(b, PUBLIC_KEY_BITS) for b in public_keys_blobs]
+    pks += [[0] * PUBLIC_KEY_BITS] * (n - len(pks))
+    levels = merkle.build_tree(np.array(pks, np.int32))
+    rt_bits = [int(b) for b in merkle.root(levels)]
+    rt_field = M.pack_bits_to_field_elements(rt_bits)
+    eid = [rng() % 2 for _ in range(eid_bits)]
+    eid_field = M.pack_bits_to_field_elements(eid)
+    flat = merkle.flatten_tree(levels)
+    return (
+        M.ser_scalar_vector(eid_field),
+        M.ser_scalar_vector(rt_field),
+        M.ser_merkle_tree(flat),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 4 — vote (the hot path; reference common.hpp:987-1174), batched
+# ---------------------------------------------------------------------------
+
+
+def vote_phase_batch(
+    tree_depth: int,
+    eid_bits: int,
+    voter_indices: list[int],
+    votes: list[int],
+    merkle_tree_blob: bytes,
+    rt_blob: bytes,
+    eid_blob: bytes,
+    sk_blobs: list[bytes],
+    pk_eid_blob: bytes,
+    proving_key_blob: bytes,
+    verification_key_blob: bytes,
+    rng: FrRandom | None = None,
+) -> list[tuple[bytes, bytes, bytes, bytes]]:
+    """Batched ballot generation.  Per voter returns
+    (proof_blob, pinput_blob, ct_blob, sn_blob) exactly as serialize_data
+    (common.hpp:462-485,1148-1160): pinput is the primary input from the
+    eid offset on, sn is the packed sn slice."""
+    rng = rng or FrRandom()
+    B = len(voter_indices)
+    assert len(votes) == B and len(sk_blobs) == B
+
+    circ = build_voting_circuit(tree_depth, eid_bits)
+    flat = M.de_merkle_tree(merkle_tree_blob, tree_depth)
+    levels = merkle.unflatten_tree(flat, tree_depth)
+    admin_rt = M.de_scalar_vector(rt_blob)
+    rt_bits = [int(b) for b in merkle.root(levels)]
+    assert M.pack_bits_to_field_elements(rt_bits) == admin_rt, "merkle root mismatch"
+    eid_field = M.de_scalar_vector(eid_blob)
+    eid = M.unpack_field_elements_to_bits(eid_field, eid_bits)
+    sks = [M.de_bitarray(b, SECRET_KEY_BITS) for b in sk_blobs]
+    spk = M.de_saver_pk(pk_eid_blob)
+    vk = M.de_groth16_vk(verification_key_blob)
+    pk = M.de_groth16_pk(proving_key_blob, coo=circ.cs.to_coo())
+
+    for idx in voter_indices:
+        assert idx < (1 << tree_depth), "Voter index should be less than number of participants!"
+
+    sib = np.stack([merkle.copath(levels, i) for i in voter_indices]).astype(object)
+    wit = circ.generate_witness(
+        np.array(votes),
+        np.array(eid, dtype=object),
+        np.array(sks, dtype=object),
+        np.array(voter_indices),
+        sib,
+    )
+    assert circ.cs.is_satisfied(wit.values), "witness generation failed"
+    proofs = groth16.prove(pk, wit.values, rng)
+
+    out = []
+    prim = wit.primary(circ.cs.num_primary)
+    for i in range(B):
+        m_field = [int(x) for x in prim[i, : MSG_SIZE]]
+        ct = saver.encrypt(spk, vk, m_field, rng())
+        ct, proof = saver.rerandomize(spk, pk.delta_g2, ct, proofs[i], [rng() for _ in range(3)])
+        pinput = [int(x) for x in prim[i]]
+        eid_off = MSG_SIZE
+        sn_off = eid_off + len(eid_field)
+        rt_off = sn_off + 2
+        out.append(
+            (
+                M.ser_proof(proof),
+                M.ser_scalar_vector(pinput[eid_off:]),
+                M.ser_ct(ct),
+                M.ser_scalar_vector(pinput[sn_off:rt_off]),
+            )
+        )
+    return out
+
+
+def vote_phase(
+    tree_depth: int,
+    eid_bits: int,
+    voter_idx: int,
+    vote: int,
+    merkle_tree_blob: bytes,
+    rt_blob: bytes,
+    eid_blob: bytes,
+    sk_blob: bytes,
+    pk_eid_blob: bytes,
+    proving_key_blob: bytes,
+    verification_key_blob: bytes,
+    rng: FrRandom | None = None,
+) -> tuple[bytes, bytes, bytes, bytes]:
+    """Single-voter wrapper with the reference's exact signature shape."""
+    return vote_phase_batch(
+        tree_depth,
+        eid_bits,
+        [voter_idx],
+        [vote],
+        merkle_tree_blob,
+        rt_blob,
+        eid_blob,
+        [sk_blob],
+        pk_eid_blob,
+        proving_key_blob,
+        verification_key_blob,
+        rng,
+    )[0]
+
+
+# ---------------------------------------------------------------------------
+# Phase 5 — tally (admin): aggregate, decrypt, prove (common.hpp:1176-1237)
+# ---------------------------------------------------------------------------
+
+
+def tally_admin_phase(
+    tree_depth: int,
+    cts_blobs: list[bytes],
+    sk_eid_blob: bytes,
+    vk_eid_blob: bytes,
+    pk_crs_blob: bytes,
+    vk_crs_blob: bytes,
+) -> tuple[bytes, bytes]:
+    """Returns (dec_proof_blob, voting_res_blob)."""
+    assert len(cts_blobs) <= (1 << tree_depth)
+    ssk = M.de_saver_sk(sk_eid_blob)
+    vk = M.de_groth16_vk(vk_crs_blob)
+    cts = [M.de_ct(b) for b in cts_blobs]
+    ct_agg = cts[0]
+    for ct in cts[1:]:
+        ct_agg = ct_agg + ct
+    counts, dproof = saver.decrypt(ssk, vk, ct_agg, max_count=len(cts))
+    assert len(counts) == MSG_SIZE, "Deciphered lens not equal"
+    return M.ser_dec_proof(dproof), M.ser_scalar_vector(counts)
+
+
+# ---------------------------------------------------------------------------
+# Phase 6 — tally (voter/observer): verify decryption (common.hpp:1239-1293)
+# ---------------------------------------------------------------------------
+
+
+def tally_voter_phase(
+    tree_depth: int,
+    cts_blobs: list[bytes],
+    vk_eid_blob: bytes,
+    pk_crs_blob: bytes,
+    vk_crs_blob: bytes,
+    voting_res_blob: bytes,
+    dec_proof_blob: bytes,
+) -> bool:
+    assert len(cts_blobs) <= (1 << tree_depth)
+    svk = M.de_saver_vk(vk_eid_blob)
+    vk = M.de_groth16_vk(vk_crs_blob)
+    counts = M.de_scalar_vector(voting_res_blob)
+    dproof = M.de_dec_proof(dec_proof_blob)
+    cts = [M.de_ct(b) for b in cts_blobs]
+    ct_agg = cts[0]
+    for ct in cts[1:]:
+        ct_agg = ct_agg + ct
+    return saver.verify_decryption(vk, svk, ct_agg, counts, dproof)
+
+
+# ---------------------------------------------------------------------------
+# Ballot verification (the reference's DEBUG_VERIFY_BALLOT / on-chain check)
+# ---------------------------------------------------------------------------
+
+
+def verify_ballot(
+    proof_blob: bytes,
+    pinput_blob: bytes,
+    ct_blob: bytes,
+    vk_eid_blob: bytes,
+    vk_crs_blob: bytes,
+) -> bool:
+    """Off-chain equivalent of tvm.vergrth16 on an encrypted-input ballot
+    (reference voting_voter.sol:94 / common.hpp:1162-1173)."""
+    proof = M.de_proof(proof_blob)
+    rest = M.de_scalar_vector(pinput_blob)
+    ct = M.de_ct(ct_blob)
+    vk = M.de_groth16_vk(vk_crs_blob)
+    svk = M.de_saver_vk(vk_eid_blob)
+    return saver.verify_encryption(vk, svk, ct, proof, rest)
