@@ -1,0 +1,99 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.json): MSM Mpoints/s on the G1 Pippenger kernel
+(the Groth16 prover's dominant cost); secondary numbers (NTT Mbutterflies/s,
+batched Pedersen hashes/s) ride along in "extra".  vs_baseline is 1.0: the
+reference publishes no numbers (BASELINE.md — measured, not inherited).
+
+Runs on whatever jax.default_backend() provides — real TPU under the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import random
+import sys
+import time
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from vote_saver_tpu.params import R, fr_spec
+    from vote_saver_tpu.ops import curve_ops as co, msm, limbs as lb, pedersen_ops as po
+    from vote_saver_tpu.ops.field_ops import fr_ops
+    from vote_saver_tpu.ops.ntt import get_ntt
+    from vote_saver_tpu.refimpl import curves as rc
+
+    main._t_start = time.time()
+    backend = jax.default_backend()
+    rng = random.Random(0xBE11C)
+    g1 = co.g1_ops()
+
+    def log(*a):
+        print(*a, file=sys.stderr, flush=True)
+
+    # ---- MSM (primary) -----------------------------------------------------
+    n = 4096
+    log(f"[bench] building {n} points on host ...")
+    pts, p = [], rc.g1_gen
+    for i in range(n):
+        pts.append(p)
+        p = rc.g1_add(p, rc.g1_gen if i % 2 else pts[0])
+    scalars = [rng.randrange(R) for _ in range(n)]
+    dp = co.g1_to_device(pts)
+    sl = msm.scalars_to_limbs(scalars)
+    fn = jax.jit(lambda p_, s_: msm.msm_pippenger(g1, p_, s_))
+    t0 = time.time()
+    out = fn(dp, sl)
+    jax.block_until_ready(out)
+    log(f"[bench] msm compile+first run: {time.time()-t0:.1f}s on {backend}")
+    reps = 3
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(dp, sl)
+    jax.block_until_ready(out)
+    msm_dt = (time.time() - t0) / reps
+    msm_mpps = n / msm_dt / 1e6
+
+    extra = {"backend": backend, "msm_n": n, "msm_ms": round(msm_dt * 1e3, 1)}
+
+    # ---- NTT (secondary; skipped when the remote-compile budget is spent) --
+    bench_start = getattr(main, "_t_start", None) or 0.0
+    if time.time() - bench_start < 900:
+        try:
+            dom = 1 << 14
+            ntt = get_ntt(dom)
+            spec = fr_spec()
+            coeffs = lb.ints_to_mont_limbs([rng.randrange(R) for _ in range(dom)], spec)
+            fn_ntt = jax.jit(ntt.ntt)
+            t0 = time.time()
+            jax.block_until_ready(fn_ntt(coeffs))
+            log(f"[bench] ntt compile+first run: {time.time()-t0:.1f}s")
+            t0 = time.time()
+            for _ in range(10):
+                out = fn_ntt(coeffs)
+            jax.block_until_ready(out)
+            ntt_dt = (time.time() - t0) / 10
+            butterflies = dom // 2 * (dom.bit_length() - 1)
+            extra["ntt_mbutterflies_per_s"] = round(butterflies / ntt_dt / 1e6, 2)
+            extra["ntt_domain"] = dom
+        except Exception as e:  # pragma: no cover - defensive on TPU quirks
+            log(f"[bench] ntt skipped: {e}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "msm_g1_mpoints_per_s",
+                "value": round(msm_mpps, 5),
+                "unit": "Mpoints/s",
+                "vs_baseline": 1.0,
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
