@@ -377,10 +377,7 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
 
 
 def ic_combine(vk: VerificationKey, primary: list[int]):
-    acc = vk.ic[0]
-    for a_i, pt in zip(primary, vk.ic[1:]):
-        acc = rc.g1_add(acc, rc.g1_mul(pt, a_i))
-    return acc
+    return rc.g1_add(vk.ic[0], rj.msm_host(vk.ic[1 : 1 + len(primary)], primary))
 
 
 def verify(vk: VerificationKey, primary: list[int], proof: Proof) -> bool:

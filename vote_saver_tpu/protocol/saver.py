@@ -74,12 +74,14 @@ def keygen(gvk: VerificationKey, n: int, rnd: list[int]):
     s = [x % R for x in rnd[:n]]
     t = [x % R for x in rnd[n : 2 * n + 1]]  # t_0..t_n
     p_bases = message_bases(gvk, n)
-    s_pts = [rc.g1_mul(rc.g1_gen, si) for si in s]
     x_psi_exp = (t[0] + sum(si * ti for si, ti in zip(s, t[1:]))) % R
-    x_psi = rc.g1_mul(rc.g1_gen, x_psi_exp)
-    y_pts = [rc.g1_mul(p, ti) for p, ti in zip(p_bases, t[1:])]
-    v_pts = [rc.g2_mul(rc.g2_gen, si) for si in s]
-    z_pts = [rc.g2_mul(rc.g2_gen, ti) for ti in t]
+    g1_fb = rj.FixedBaseHost(rc.g1_gen, "g1")
+    g2_fb = rj.FixedBaseHost(rc.g2_gen, "g2")
+    g1_pts = g1_fb.mul_many(s + [x_psi_exp])
+    s_pts, x_psi = g1_pts[:n], g1_pts[n]
+    y_pts = rj.g1_mul_many(p_bases, t[1:])
+    g2_pts = g2_fb.mul_many(s + t)
+    v_pts, z_pts = g2_pts[:n], g2_pts[n:]
     gamma_s = rc.g2_mul(gvk.gamma_g2, sum(s) % R)
     return (
         SaverPublicKey(s_pts=s_pts, x_psi=x_psi, y_pts=y_pts),
@@ -92,16 +94,12 @@ def encrypt(pk: SaverPublicKey, gvk: VerificationKey, m: list[int], r: int) -> C
     """m: length-n small message vector (one-hot ballot)."""
     n = pk.n
     p_bases = message_bases(gvk, n)
-    c0 = rc.g1_mul(rc.g1_gen, r)
-    cs = []
-    for i in range(n):
-        ci = rc.g1_mul(pk.s_pts[i], r)
-        if m[i]:
-            ci = rc.g1_add(ci, rc.g1_mul(p_bases[i], m[i]))
-        cs.append(ci)
-    psi = rc.g1_mul(pk.x_psi, r)
+    bases = [rc.g1_gen] + pk.s_pts + [pk.x_psi]
+    randomized = rj.g1_mul_many(bases, [r] * (n + 2))
+    c0, cs, psi = randomized[0], randomized[1 : n + 1], randomized[n + 1]
     for i in range(n):
         if m[i]:
+            cs[i] = rc.g1_add(cs[i], rc.g1_mul(p_bases[i], m[i]))
             psi = rc.g1_add(psi, rc.g1_mul(pk.y_pts[i], m[i]))
     return Ciphertext([c0] + cs + [psi])
 
@@ -118,12 +116,10 @@ def rerandomize(
     z1, z2, r2 = (x % R for x in rnd[:3])
     if z1 == 0:
         z1 = 1
-    c0 = rc.g1_add(ct.points[0], rc.g1_mul(rc.g1_gen, r2))
-    cs = [
-        rc.g1_add(ci, rc.g1_mul(si, r2))
-        for ci, si in zip(ct.points[1:-1], pk.s_pts)
-    ]
-    psi = rc.g1_add(ct.points[-1], rc.g1_mul(pk.x_psi, r2))
+    blind = rj.g1_mul_many([rc.g1_gen] + pk.s_pts + [pk.x_psi], [r2] * (pk.n + 2))
+    c0 = rc.g1_add(ct.points[0], blind[0])
+    cs = [rc.g1_add(ci, b) for ci, b in zip(ct.points[1:-1], blind[1:-1])]
+    psi = rc.g1_add(ct.points[-1], blind[-1])
     a = rc.g1_mul(proof.a, pow(z1, R - 2, R))
     b = rc.g2_add(rc.g2_mul(proof.b, z1), rc.g2_mul(delta_g2, z1 * z2 % R))
     c = rc.g1_add(proof.c, rc.g1_mul(proof.a, z2))
@@ -198,7 +194,7 @@ def decrypt(
     assert len(ct.points) == n + 2
     c0, cs = ct.points[0], ct.points[1:-1]
     p_bases = message_bases(gvk, n)
-    d_pts = [rc.g1_mul(c0, si) for si in sk.s]
+    d_pts = rj.g1_mul_many([c0] * n, sk.s)
     counts = []
     for i in range(n):
         m_pt = rc.g1_add(cs[i], rc.g1_neg(d_pts[i]))

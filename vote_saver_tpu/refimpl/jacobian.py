@@ -101,9 +101,16 @@ def jac_to_affine(p, group="g1"):
 
 
 def msm_host(points_affine, scalars, group="g1", window_bits: int = 8) -> tuple | None:
-    """Pippenger MSM over host ints; returns an affine point or None."""
+    """Pippenger MSM over host ints; returns an affine point or None.
+
+    Dispatches to the native C++ kernel (native/vs_native.cpp) when built;
+    the pure-Python path below doubles as its correctness oracle."""
     n = len(points_affine)
     assert n == len(scalars)
+    from .. import native_bridge as nb
+
+    if nb.available():
+        return nb.msm(points_affine, scalars, group=group, window_bits=window_bits)
     pts = [jac_from_affine(p) for p in points_affine]
     num_windows = (255 + window_bits - 1) // window_bits
     mask = (1 << window_bits) - 1
@@ -127,22 +134,30 @@ def msm_host(points_affine, scalars, group="g1", window_bits: int = 8) -> tuple 
 
 
 class FixedBaseHost:
-    """Host windowed fixed-base multiplier (8-bit windows, 31 adds/scalar)."""
+    """Host windowed fixed-base multiplier (8-bit windows, 31 adds/scalar);
+    mul_many dispatches to the native C++ kernel when built."""
 
     def __init__(self, base_affine, group="g1", window_bits: int = 8):
+        self.base_affine = base_affine
         self.group = group
         self.window_bits = window_bits
         self.num_windows = (255 + window_bits - 1) // window_bits
         self.mask = (1 << window_bits) - 1
-        self.table = []
-        win_base = jac_from_affine(base_affine)
-        for _ in range(self.num_windows):
-            row = [None]
-            for _ in range(1, 1 << window_bits):
-                row.append(jac_add(row[-1], win_base, group))
-            self.table.append(row)
-            for _ in range(window_bits):
-                win_base = jac_double(win_base, group)
+        self._table = None  # built lazily (unneeded when native dispatch hits)
+
+    @property
+    def table(self):
+        if self._table is None:
+            self._table = []
+            win_base = jac_from_affine(self.base_affine)
+            for _ in range(self.num_windows):
+                row = [None]
+                for _ in range(1, 1 << self.window_bits):
+                    row.append(jac_add(row[-1], win_base, self.group))
+                self._table.append(row)
+                for _ in range(self.window_bits):
+                    win_base = jac_double(win_base, self.group)
+        return self._table
 
     def mul(self, scalar: int):
         acc = None
@@ -153,4 +168,20 @@ class FixedBaseHost:
         return jac_to_affine(acc, self.group)
 
     def mul_many(self, scalars):
+        from .. import native_bridge as nb
+
+        if nb.available():
+            return nb.fixed_base(self.base_affine, scalars, group=self.group,
+                                 window_bits=self.window_bits)
         return [self.mul(s) for s in scalars]
+
+
+def g1_mul_many(points_affine, scalars) -> list:
+    """Pointwise k_i * P_i over G1 (native-accelerated when built)."""
+    from .. import native_bridge as nb
+    from . import curves as rc
+
+    if nb.available():
+        return nb.g1_mul_many(points_affine, scalars)
+    return [rc.g1_mul(p, k) if p is not None else None
+            for p, k in zip(points_affine, scalars)]
