@@ -19,3 +19,30 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def election():
+    """One full depth-2 election (3 voters), shared by every e2e-ish test."""
+    from vote_saver_tpu.protocol import phases
+    from vote_saver_tpu.utils.rng import FrRandom
+
+    rng = FrRandom(0xE1EC7)
+    voters = [phases.init_voter_phase(i, rng) for i in range(3)]
+    keys = phases.init_admin_phase_generate_keys(2, 64, rng)
+    pk_crs, vk_crs, pk_eid, sk_eid, vk_eid = keys
+    eid_blob, rt_blob, tree_blob = phases.init_admin_phase_generate_data(
+        2, 64, [v[0] for v in voters], rng
+    )
+    votes = [5, 5, 17]
+    ballots = phases.vote_phase_batch(
+        2, 64, [0, 1, 2], votes, tree_blob, rt_blob, eid_blob,
+        [v[1] for v in voters], pk_eid, pk_crs, vk_crs, rng,
+    )
+    return dict(
+        rng=rng, voters=voters, votes=votes, ballots=ballots,
+        pk_crs=pk_crs, vk_crs=vk_crs, pk_eid=pk_eid, sk_eid=sk_eid,
+        vk_eid=vk_eid, eid=eid_blob, rt=rt_blob, tree=tree_blob,
+    )

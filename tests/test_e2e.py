@@ -15,27 +15,6 @@ DEPTH = 2
 EID_BITS = 64
 
 
-@pytest.fixture(scope="module")
-def election():
-    rng = FrRandom(0xE1EC7)
-    voters = [phases.init_voter_phase(i, rng) for i in range(3)]
-    keys = phases.init_admin_phase_generate_keys(DEPTH, EID_BITS, rng)
-    pk_crs, vk_crs, pk_eid, sk_eid, vk_eid = keys
-    eid_blob, rt_blob, tree_blob = phases.init_admin_phase_generate_data(
-        DEPTH, EID_BITS, [v[0] for v in voters], rng
-    )
-    votes = [5, 5, 17]
-    ballots = phases.vote_phase_batch(
-        DEPTH, EID_BITS, [0, 1, 2], votes, tree_blob, rt_blob, eid_blob,
-        [v[1] for v in voters], pk_eid, pk_crs, vk_crs, rng,
-    )
-    return dict(
-        rng=rng, voters=voters, votes=votes, ballots=ballots,
-        pk_crs=pk_crs, vk_crs=vk_crs, pk_eid=pk_eid, sk_eid=sk_eid,
-        vk_eid=vk_eid, eid=eid_blob, rt=rt_blob, tree=tree_blob,
-    )
-
-
 def test_full_election_tally(election):
     e = election
     cts = [b[2] for b in e["ballots"]]
