@@ -464,3 +464,236 @@ void vs_g1_mul_many(const u64 *coords, const std::uint8_t *inf, const std::uint8
 
 int vs_abi_version() { return 1; }
 }
+
+// ===========================================================================
+// Pairing: optimal ate over BLS12-381, generic untwist-based Miller loop.
+// Mirrors the oracle in refimpl/pairing.py (same algorithm, ~1000x faster);
+// exposed as a pairing-*product* check — the only shape every verification
+// path (Groth16 verify, SAVER verify_encryption / verify_decryption) needs.
+// ===========================================================================
+
+namespace {
+
+// --- Fq6 = Fq2[v]/(v^3 - (u+1)), Fq12 = Fq6[w]/(w^2 - v) ------------------
+
+struct Fq6 {
+  Fq2 c0, c1, c2;
+};
+struct Fq12 {
+  Fq6 c0, c1;
+};
+
+inline Fq2 mul_xi(const Fq2 &a) { return {sub(a.c0, a.c1), add(a.c0, a.c1)}; }
+
+inline Fq6 add(const Fq6 &a, const Fq6 &b) {
+  return {add(a.c0, b.c0), add(a.c1, b.c1), add(a.c2, b.c2)};
+}
+inline Fq6 sub(const Fq6 &a, const Fq6 &b) {
+  return {sub(a.c0, b.c0), sub(a.c1, b.c1), sub(a.c2, b.c2)};
+}
+inline Fq6 neg(const Fq6 &a) { return {neg(a.c0), neg(a.c1), neg(a.c2)}; }
+
+inline Fq6 mul(const Fq6 &a, const Fq6 &b) {
+  Fq2 t0 = mul(a.c0, b.c0);
+  Fq2 t1 = mul(a.c1, b.c1);
+  Fq2 t2 = mul(a.c2, b.c2);
+  Fq2 c0 = add(t0, mul_xi(sub(mul(add(a.c1, a.c2), add(b.c1, b.c2)), add(t1, t2))));
+  Fq2 c1 = add(sub(mul(add(a.c0, a.c1), add(b.c0, b.c1)), add(t0, t1)), mul_xi(t2));
+  Fq2 c2 = add(sub(mul(add(a.c0, a.c2), add(b.c0, b.c2)), add(t0, t2)), t1);
+  return {c0, c1, c2};
+}
+inline Fq6 sqr(const Fq6 &a) { return mul(a, a); }
+inline Fq6 mul_by_v(const Fq6 &a) { return {mul_xi(a.c2), a.c0, a.c1}; }
+
+inline Fq6 inv(const Fq6 &a) {
+  Fq2 c0 = sub(sqr(a.c0), mul_xi(mul(a.c1, a.c2)));
+  Fq2 c1 = sub(mul_xi(sqr(a.c2)), mul(a.c0, a.c1));
+  Fq2 c2 = sub(sqr(a.c1), mul(a.c0, a.c2));
+  Fq2 t = add(mul(a.c0, c0), mul_xi(add(mul(a.c2, c1), mul(a.c1, c2))));
+  Fq2 ti = inv(t);
+  return {mul(c0, ti), mul(c1, ti), mul(c2, ti)};
+}
+
+inline Fq12 add(const Fq12 &a, const Fq12 &b) { return {add(a.c0, b.c0), add(a.c1, b.c1)}; }
+inline Fq12 sub(const Fq12 &a, const Fq12 &b) { return {sub(a.c0, b.c0), sub(a.c1, b.c1)}; }
+
+inline Fq12 mul(const Fq12 &a, const Fq12 &b) {
+  Fq6 t0 = mul(a.c0, b.c0);
+  Fq6 t1 = mul(a.c1, b.c1);
+  Fq6 c1 = sub(mul(add(a.c0, a.c1), add(b.c0, b.c1)), add(t0, t1));
+  return {add(t0, mul_by_v(t1)), c1};
+}
+inline Fq12 sqr(const Fq12 &a) { return mul(a, a); }
+
+inline Fq12 inv(const Fq12 &a) {
+  Fq6 t = inv(sub(sqr(a.c0), mul_by_v(sqr(a.c1))));
+  return {mul(a.c0, t), neg(mul(a.c1, t))};
+}
+
+inline Fq12 conj(const Fq12 &a) { return {a.c0, neg(a.c1)}; }
+
+inline Fq2 fq2_zero() { return {{{0, 0, 0, 0, 0, 0}}, {{0, 0, 0, 0, 0, 0}}}; }
+inline Fq2 fq2_one() { return {R_MONT, {{0, 0, 0, 0, 0, 0}}}; }
+inline Fq6 fq6_zero() { return {fq2_zero(), fq2_zero(), fq2_zero()}; }
+inline Fq6 fq6_one() { return {fq2_one(), fq2_zero(), fq2_zero()}; }
+inline Fq12 fq12_one() { return {fq6_one(), fq6_zero()}; }
+
+inline bool is_one(const Fq12 &a) {
+  Fq12 d = sub(a, fq12_one());
+  const u64 *p = (const u64 *)&d;
+  u64 acc = 0;
+  for (size_t i = 0; i < sizeof(Fq12) / 8; i++) acc |= p[i];
+  return acc == 0;
+}
+
+inline Fq12 pow_limbs(const Fq12 &a, const u64 *exp, int nlimbs) {
+  Fq12 r = fq12_one();
+  bool started = false;
+  for (int i = nlimbs - 1; i >= 0; i--) {
+    for (int b = 63; b >= 0; b--) {
+      if (started) r = sqr(r);
+      if ((exp[i] >> b) & 1) {
+        if (started) r = mul(r, a);
+        else { r = a; started = true; }
+      }
+    }
+  }
+  return r;
+}
+
+constexpr u64 EXP_Q2[12] = {0x26aa00001c718e39ULL, 0x7ced6b1d76382eabULL, 0x162c338362113cfdULL, 0x66bf91ed3e71b743ULL, 0x292e85a87091a049ULL, 0x1d68619c86185c7bULL, 0xf53149330978ef01ULL, 0x50a62cfd16ddca6eULL, 0x66e59e49349e8bd0ULL, 0xe2dc90e50e7046b4ULL, 0x4bd278eaa22f25e9ULL, 0x02a437a4b8c35fc7ULL};
+constexpr u64 EXP_HARD[20] = {0xe516c3f438e3ba79ULL, 0xfa9912aae208ccf1ULL, 0x905ce937335d5b68ULL, 0xc71a2629b0dea236ULL, 0x83774940996754c8ULL, 0x21d160aeb6a1e799ULL, 0x2ed0b283ed237db4ULL, 0x915c97f36c6f1821ULL, 0x67f17fcbde783765ULL, 0x2378b9039096d1b7ULL, 0x7988f8761bdc51dcULL, 0x2076995003fc77a1ULL, 0x827eca0ba621315bULL, 0xe5a72bce8d63cb9fULL, 0xf68f7764c28b6f8aULL, 0x2f230063cf081517ULL, 0x94506632528d6a9aULL, 0xd3cde88eeb996ca3ULL, 0xc0bd38c3195c899eULL, 0x000f686b3d807d01ULL};
+
+// |BLS_X| = 0xd201000000010000 (the parameter is negative; conjugate at end)
+constexpr u64 ATE_X = 0xd201000000010000ULL;
+
+// --- E(Fq12) affine points for the generic Miller loop --------------------
+
+struct P12 {
+  Fq12 x, y;
+  bool inf;
+};
+
+inline Fq12 fq12_scalar3() {
+  Fq three = add(add(R_MONT, R_MONT), R_MONT);
+  Fq12 r = fq12_one();
+  r.c0.c0.c0 = three;
+  return r;
+}
+
+inline P12 e12_add(const P12 &p, const P12 &q) {
+  if (p.inf) return q;
+  if (q.inf) return p;
+  Fq12 dx = sub(q.x, p.x);
+  Fq12 num, den;
+  const u64 *pp = (const u64 *)&dx;
+  u64 acc = 0;
+  for (size_t i = 0; i < sizeof(Fq12) / 8; i++) acc |= pp[i];
+  if (acc == 0) {
+    Fq12 dy = sub(q.y, p.y);
+    const u64 *py = (const u64 *)&dy;
+    u64 accy = 0;
+    for (size_t i = 0; i < sizeof(Fq12) / 8; i++) accy |= py[i];
+    if (accy != 0) return {fq12_one(), fq12_one(), true};
+    num = mul(fq12_scalar3(), sqr(p.x));
+    den = add(p.y, p.y);
+  } else {
+    num = sub(q.y, p.y);
+    den = dx;
+  }
+  Fq12 lam = mul(num, inv(den));
+  Fq12 x3 = sub(sub(sqr(lam), p.x), q.x);
+  Fq12 y3 = sub(mul(lam, sub(p.x, x3)), p.y);
+  return {x3, y3, false};
+}
+
+inline Fq12 line_eval(const P12 &a, const P12 &b, const Fq12 &xp, const Fq12 &yp) {
+  // line through a,b (tangent if equal) evaluated at (xp, yp)
+  Fq12 dx = sub(b.x, a.x);
+  const u64 *pp = (const u64 *)&dx;
+  u64 acc = 0;
+  for (size_t i = 0; i < sizeof(Fq12) / 8; i++) acc |= pp[i];
+  Fq12 num, den;
+  if (acc == 0) {
+    Fq12 dy = sub(b.y, a.y);
+    const u64 *py = (const u64 *)&dy;
+    u64 accy = 0;
+    for (size_t i = 0; i < sizeof(Fq12) / 8; i++) accy |= py[i];
+    if (accy != 0) return sub(xp, a.x);  // vertical line
+    num = mul(fq12_scalar3(), sqr(a.x));
+    den = add(a.y, a.y);
+  } else {
+    num = sub(b.y, a.y);
+    den = dx;
+  }
+  Fq12 lam = mul(num, inv(den));
+  return sub(sub(yp, a.y), mul(lam, sub(xp, a.x)));
+}
+
+inline Fq12 embed_fq2(const Fq2 &c) {
+  Fq12 r = {fq6_zero(), fq6_zero()};
+  r.c0.c0 = c;
+  return r;
+}
+
+struct UntwistCtx {
+  Fq12 w2_inv, w3_inv;
+};
+
+inline UntwistCtx make_untwist() {
+  Fq12 w = {fq6_zero(), fq6_one()};
+  Fq12 w2 = mul(w, w);
+  Fq12 w3 = mul(w2, w);
+  return {inv(w2), inv(w3)};
+}
+
+Fq12 miller_loop(const Fq &px, const Fq &py, const Fq2 &qx, const Fq2 &qy,
+                 const UntwistCtx &ctx) {
+  Fq12 xp = {fq6_zero(), fq6_zero()};
+  xp.c0.c0.c0 = px;
+  Fq12 yp = {fq6_zero(), fq6_zero()};
+  yp.c0.c0.c0 = py;
+  P12 q = {mul(embed_fq2(qx), ctx.w2_inv), mul(embed_fq2(qy), ctx.w3_inv), false};
+  P12 t = q;
+  Fq12 f = fq12_one();
+  // bits of |x| below the MSB
+  int msb = 63;
+  while (!((ATE_X >> msb) & 1)) msb--;
+  for (int b = msb - 1; b >= 0; b--) {
+    f = mul(sqr(f), line_eval(t, t, xp, yp));
+    t = e12_add(t, t);
+    if ((ATE_X >> b) & 1) {
+      f = mul(f, line_eval(t, q, xp, yp));
+      t = e12_add(t, q);
+    }
+  }
+  return conj(f);  // x < 0
+}
+
+Fq12 final_exp(const Fq12 &f) {
+  Fq12 a = mul(conj(f), inv(f));           // ^(q^6 - 1)
+  a = mul(pow_limbs(a, EXP_Q2, 12), a);    // ^(q^2 + 1)
+  return pow_limbs(a, EXP_HARD, 20);       // hard part
+}
+
+}  // namespace
+
+extern "C" {
+
+// Pairing-product check: prod e(P_i, Q_i) == 1.
+// g1: n * 12 u64 (x‖y standard limbs), g2: n * 24 u64, inf flags per side.
+int vs_pairing_check(const u64 *g1, const std::uint8_t *g1_inf, const u64 *g2,
+                     const std::uint8_t *g2_inf, std::size_t n) {
+  UntwistCtx ctx = make_untwist();
+  Fq12 acc = fq12_one();
+  for (std::size_t i = 0; i < n; i++) {
+    if (g1_inf[i] || g2_inf[i]) continue;
+    Fq px = load_fq(g1 + i * 12);
+    Fq py = load_fq(g1 + i * 12 + 6);
+    Fq2 qx = {load_fq(g2 + i * 24), load_fq(g2 + i * 24 + 6)};
+    Fq2 qy = {load_fq(g2 + i * 24 + 12), load_fq(g2 + i * 24 + 18)};
+    acc = mul(acc, miller_loop(px, py, qx, qy, ctx));
+  }
+  return is_one(final_exp(acc)) ? 1 : 0;
+}
+}

@@ -144,6 +144,29 @@ class TestPairing:
         assert pr.pairing(None, c.g2_gen) == f.FQ12_ONE
         assert pr.pairing(c.g1_gen, None) == f.FQ12_ONE
 
+    def test_native_pairing_agrees_with_python(self):
+        import os
+
+        from vote_saver_tpu import native_bridge as nb
+
+        if not nb.available():
+            return  # native disabled in this environment; python path covered above
+        a, b = rand_fr(), rand_fr()
+        pairs = [
+            (c.g1_mul(c.g1_gen, a), c.g2_mul(c.g2_gen, b)),
+            (c.g1_neg(c.g1_mul(c.g1_gen, a * b % P.R)), c.g2_gen),
+        ]
+        bad = [pairs[0], (pairs[1][0], c.g2_mul(c.g2_gen, 5))]
+        os.environ["VSTPU_NATIVE"] = "0"
+        nb.get_lib.cache_clear()
+        try:
+            py_good, py_bad = pr.pairing_check(pairs), pr.pairing_check(bad)
+        finally:
+            os.environ["VSTPU_NATIVE"] = "1"
+            nb.get_lib.cache_clear()
+        assert pr.pairing_check(pairs) == py_good is True
+        assert pr.pairing_check(bad) == py_bad is False
+
 
 class TestPedersen:
     def test_generators_distinct_and_in_subgroup(self):

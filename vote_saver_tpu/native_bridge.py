@@ -58,6 +58,8 @@ def get_lib():
         fn = getattr(lib, name)
         fn.argtypes = args
         fn.restype = None
+    lib.vs_pairing_check.argtypes = [u64p, u8p, u64p, u8p, ctypes.c_size_t]
+    lib.vs_pairing_check.restype = ctypes.c_int
     assert lib.vs_abi_version() == 1
     return lib
 
@@ -174,6 +176,31 @@ def fixed_base(base, scalars, group: str = "g1", window_bits: int = 8) -> list:
     out_inf = np.zeros(n, dtype=np.uint8)
     fn(_u64p(coords), _u8p(sc), n, window_bits, _u64p(out), _u8p(out_inf))
     return [unpack(out, out_inf, i) for i in range(n)]
+
+
+def pairing_check(pairs) -> bool:
+    """prod e(P_i, Q_i) == 1 over (G1, G2) affine int pairs."""
+    lib = get_lib()
+    n = len(pairs)
+    g1 = np.zeros((n, 12), np.uint64)
+    g1i = np.zeros(n, np.uint8)
+    g2 = np.zeros((n, 24), np.uint64)
+    g2i = np.zeros(n, np.uint8)
+    for i, (p, q) in enumerate(pairs):
+        if p is None:
+            g1i[i] = 1
+        else:
+            g1[i, :6] = _fq_to_limbs(p[0])
+            g1[i, 6:] = _fq_to_limbs(p[1])
+        if q is None:
+            g2i[i] = 1
+        else:
+            (x0, x1), (y0, y1) = q
+            g2[i, 0:6] = _fq_to_limbs(x0)
+            g2[i, 6:12] = _fq_to_limbs(x1)
+            g2[i, 12:18] = _fq_to_limbs(y0)
+            g2[i, 18:24] = _fq_to_limbs(y1)
+    return bool(lib.vs_pairing_check(_u64p(g1), _u8p(g1i), _u64p(g2), _u8p(g2i), n))
 
 
 def g1_mul_many(points, scalars) -> list:

@@ -132,5 +132,12 @@ def pairing_product(pairs) -> tuple:
 
 
 def pairing_check(pairs) -> bool:
-    """True iff prod_i e(P_i, Q_i) == 1."""
+    """True iff prod_i e(P_i, Q_i) == 1.
+
+    Dispatches to the native C++ pairing (same generic algorithm, ~1000x)
+    when built; this Python path is its correctness oracle."""
+    from .. import native_bridge as nb
+
+    if nb.available():
+        return nb.pairing_check(list(pairs))
     return pairing_product(pairs) == f.FQ12_ONE
