@@ -41,23 +41,32 @@ def main():
     for i in range(n):
         pts.append(p)
         p = rc.g1_add(p, rc.g1_gen if i % 2 else pts[0])
-    scalars = [rng.randrange(R) for _ in range(n)]
     dp = co.g1_to_device(pts)
-    sl = msm.scalars_to_limbs(scalars)
-    fn = jax.jit(lambda p_, s_: msm.msm_pippenger(g1, p_, s_))
+    # batched windowed var-base MSM (the prover's configuration): measured
+    # ~3x faster than sort-based Pippenger on TPU and far cheaper to compile.
+    B = 4
+    digs = np.stack(
+        [
+            msm.scalars_to_window_digits([rng.randrange(R) for _ in range(n)])
+            for _ in range(B)
+        ]
+    )
+    fn = jax.jit(
+        lambda p_, d_: jax.vmap(lambda dd: msm.msm_var_base(g1, p_, dd))(d_)
+    )
     t0 = time.time()
-    out = fn(dp, sl)
+    out = fn(dp, digs)
     jax.block_until_ready(out)
     log(f"[bench] msm compile+first run: {time.time()-t0:.1f}s on {backend}")
     reps = 3
     t0 = time.time()
     for _ in range(reps):
-        out = fn(dp, sl)
+        out = fn(dp, digs)
     jax.block_until_ready(out)
     msm_dt = (time.time() - t0) / reps
-    msm_mpps = n / msm_dt / 1e6
+    msm_mpps = B * n / msm_dt / 1e6
 
-    extra = {"backend": backend, "msm_n": n, "msm_ms": round(msm_dt * 1e3, 1)}
+    extra = {"backend": backend, "msm_n": n, "msm_batch": B, "msm_ms": round(msm_dt * 1e3, 1)}
 
     # ---- NTT (secondary; skipped when the remote-compile budget is spent) --
     bench_start = getattr(main, "_t_start", None) or 0.0

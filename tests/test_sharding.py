@@ -1,0 +1,58 @@
+"""Multi-chip sharding on the virtual 8-device CPU mesh (SURVEY.md §4: the
+multi-host-simulated collective test rig the reference lacks)."""
+
+import random
+
+import jax
+import numpy as np
+import pytest
+
+from vote_saver_tpu.params import R, fr_spec
+from vote_saver_tpu.ops import curve_ops as co, msm, limbs as lb
+from vote_saver_tpu.ops.ntt import get_ntt
+from vote_saver_tpu.parallel import sharded
+from vote_saver_tpu.refimpl import curves as rc
+from vote_saver_tpu.refimpl import jacobian as rj
+
+rng = random.Random(0x5AAD)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 virtual devices"
+    return sharded.make_mesh(4, 2)
+
+
+def test_sharded_msm_matches_host(mesh):
+    pts = [rc.g1_mul(rc.g1_gen, rng.randrange(R)) for _ in range(16)]
+    ks = [rng.randrange(R) for _ in range(16)]
+    res = sharded.sharded_msm(mesh, co.g1_to_device(pts), msm.scalars_to_window_digits(ks))
+    got = co.g1_from_device(tuple(np.asarray(c) for c in res))
+    assert got[0] == rj.msm_host(pts, ks)
+
+
+def test_sharded_tally_matches_serial(mesh):
+    n_voters, slots = 8, 3
+    cts = [[rc.g1_mul(rc.g1_gen, rng.randrange(R)) for _ in range(slots)] for _ in range(n_voters)]
+    flat = co.g1_to_device([p for row in cts for p in row])
+    ctp = tuple(c.reshape(n_voters, slots, *c.shape[1:]) for c in flat)
+    res = sharded.sharded_tally(mesh, ctp)
+    got = co.g1_from_device(tuple(np.asarray(c) for c in res))
+    for s in range(slots):
+        acc = None
+        for v in range(n_voters):
+            acc = rc.g1_add(acc, cts[v][s])
+        assert got[s] == acc
+
+
+def test_sharded_ntt_matches_local(mesh):
+    spec = fr_spec()
+    dom, B = 16, 4
+    ntt = get_ntt(dom)
+    evals = lb.ints_to_mont_limbs(
+        [[rng.randrange(R) for _ in range(dom)] for _ in range(B)], spec
+    )
+    with mesh:
+        got = np.asarray(sharded.sharded_ntt(mesh, ntt, evals))
+    want = np.asarray(jax.jit(ntt.intt)(evals))
+    assert np.array_equal(got, want)

@@ -213,6 +213,23 @@ def msm_pippenger(ops: JacobianOps, points, scalar_limbs, window_bits: int = 8):
     return acc
 
 
+def limbs_to_window_digits(limbs, window: int = FB_WINDOW):
+    """Device-side: plain LE scalar limbs (..., L) -> (..., 256/window) int32
+    window digits, LSB window first (feeds scalar_mul_windowed/msm_var_base)."""
+    from ..params import fr_spec
+
+    lbits = fr_spec().limb_bits
+    limbs = jnp.asarray(limbs)
+    per = lbits // window
+    num_windows = 256 // window
+    mask = limbs.dtype.type((1 << window) - 1)
+    digs = [
+        ((limbs[..., w // per] >> (window * (w % per))) & mask).astype(jnp.int32)
+        for w in range(num_windows)
+    ]
+    return jnp.stack(digs, axis=-1)
+
+
 def scalars_to_limbs(scalars) -> np.ndarray:
     """Ints -> (n, L) plain (non-Montgomery) LE limbs in the active layout."""
     from ..params import fr_spec

