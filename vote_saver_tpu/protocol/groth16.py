@@ -349,15 +349,26 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
         l_pts = co.g1_from_device(l_j)
         h_pts = co.g1_from_device(h_j)
     else:
+        # The native MSM releases the GIL, so the 5 MSMs x B voters run on a
+        # thread pool (true parallelism through the C library).
+        import concurrent.futures as cf
+
         h_ints = lb.limbs_to_ints(h_scalars, spec)
-        a_pts, b1_pts, b2_pts, l_pts, h_pts = [], [], [], [], []
+        jobs = []
         for i in range(B):
             wl = [int(x) for x in wvals[i]]
-            a_pts.append(rj.msm_host(pk.a_pts, wl))
-            b1_pts.append(rj.msm_host(pk.b1_pts, wl))
-            b2_pts.append(rj.msm_host(pk.b2_pts, wl, group="g2"))
-            l_pts.append(rj.msm_host(pk.l_pts, wl[pk.num_primary + 1 :]))
-            h_pts.append(rj.msm_host(pk.h_pts, [int(x) for x in h_ints[i]]))
+            jobs.append((pk.a_pts, wl, "g1"))
+            jobs.append((pk.b1_pts, wl, "g1"))
+            jobs.append((pk.b2_pts, wl, "g2"))
+            jobs.append((pk.l_pts, wl[pk.num_primary + 1 :], "g1"))
+            jobs.append((pk.h_pts, [int(x) for x in h_ints[i]], "g1"))
+        with cf.ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
+            results = list(pool.map(lambda j: rj.msm_host(j[0], j[1], group=j[2]), jobs))
+        a_pts = results[0::5]
+        b1_pts = results[1::5]
+        b2_pts = results[2::5]
+        l_pts = results[3::5]
+        h_pts = results[4::5]
 
     proofs = []
     for i in range(B):
