@@ -16,9 +16,28 @@ import sys
 import time
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache inside the repo: TPU compiles via the
+    axon remote service take minutes and are highly variable; warm cache
+    entries make repeat bench runs start in seconds."""
+    import pathlib
+
+    import jax
+
+    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    cache.mkdir(exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", str(cache))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
+
 def main():
     import jax
     import numpy as np
+
+    _enable_compile_cache()
 
     from vote_saver_tpu.params import R, fr_spec
     from vote_saver_tpu.ops import curve_ops as co, msm, limbs as lb, pedersen_ops as po
