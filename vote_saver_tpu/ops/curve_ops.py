@@ -28,10 +28,34 @@ from .fq2_ops import fq2_ops, Fq2Ops
 
 
 class JacobianOps:
-    """Short-Weierstrass y^2 = x^3 + b with a = 0, over FieldOps or Fq2Ops."""
+    """Short-Weierstrass y^2 = x^3 + b with a = 0, over FieldOps or Fq2Ops.
+
+    On the TPU 16-bit-limb layout the group law dispatches to fused Pallas
+    kernels (ops/pallas_field.py) — one kernel per add/double instead of
+    ~16 HLO-level Montgomery multiplies; ~8x measured on v5e.
+    """
 
     def __init__(self, f):
         self.f = f
+        self._is_fq2 = isinstance(f, Fq2Ops)
+
+    def _pallas(self):
+        spec = self.f.fq.spec if self._is_fq2 else self.f.spec
+        if spec.limb_bits != 16:
+            return None
+        import os
+
+        import jax
+
+        if jax.default_backend() != "tpu" and not os.environ.get(
+            "VSTPU_PALLAS_INTERPRET"
+        ):
+            return None
+        from . import pallas_field as pf
+
+        if self._is_fq2:
+            return (pf.g2_add_pallas, pf.g2_double_pallas)
+        return (pf.g1_add_pallas, pf.g1_double_pallas)
 
     # -- constructors -------------------------------------------------------
 
@@ -53,6 +77,12 @@ class JacobianOps:
     # -- group law ----------------------------------------------------------
 
     def double(self, p):
+        pk = self._pallas()
+        if pk is not None:
+            return pk[1](p)
+        return self._double_xla(p)
+
+    def _double_xla(self, p):
         f = self.f
         x1, y1, z1 = p
         a = f.sq(x1)
@@ -72,6 +102,12 @@ class JacobianOps:
 
     def add(self, p, q):
         """Complete Jacobian addition via compute-both-and-select."""
+        pk = self._pallas()
+        if pk is not None:
+            return pk[0](p, q, complete=True)
+        return self._add_xla(p, q)
+
+    def _add_xla(self, p, q):
         f = self.f
         x1, y1, z1 = p
         x2, y2, z2 = q
@@ -97,7 +133,7 @@ class JacobianOps:
         q_inf = self.is_inf(q)
         h_zero = f.is_zero(h)
         r_zero = f.is_zero(rr)
-        dbl = self.double(p)
+        dbl = self._double_xla(p)
         inf = self.infinity_like(x1)
 
         same = h_zero & r_zero & ~p_inf & ~q_inf
@@ -114,6 +150,9 @@ class JacobianOps:
         fallback — ~40% cheaper).  Safe for window-decomposition sums where
         partial sums occupy disjoint scalar bit-ranges (fixed-base tables,
         Pippenger bucket combination); NOT safe for arbitrary operands."""
+        pk = self._pallas()
+        if pk is not None:
+            return pk[0](p, q, complete=False)
         f = self.f
         x1, y1, z1 = p
         x2, y2, z2 = q

@@ -1,0 +1,691 @@
+"""Fused Pallas TPU kernels for Montgomery field & Jacobian curve arithmetic.
+
+The XLA path in :mod:`field_ops` expresses one Montgomery multiply as ~10
+separate HLO ops plus an L-step ``lax.scan`` — the scan serialises the VPU and
+every op round-trips HBM.  Here a whole curve-group operation (16+ field muls)
+runs inside ONE Pallas kernel: operands live in VMEM in a transposed
+``(limbs, batch)`` layout (limbs on sublanes, batch on lanes — full 128-lane
+occupancy), every limb loop is fully unrolled with static offsets, and carries
+are lazy: limb products are split into 16-bit lo/hi halves accumulated into
+< 2^24 column sums, with a single ripple pass per field op.
+
+Replaces the hot ops behind the reference's single-threaded multiexp
+(reference: bin/cli/include/nil/vote_saver/common.hpp:916,1132 and the
+multiexp params at common.hpp:38-39) — design per SURVEY.md §7 "hard parts"
+item 1/2 and docs/ROADMAP.md round-2 item 1.
+
+Layout contract: public entry points take/return the framework-standard
+``(..., L)`` uint32 limb arrays (16-bit limbs, Montgomery form); transposition
+to the kernel layout happens at the pallas_call boundary (bandwidth-only).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import FieldSpec, fq_spec, fr_spec
+
+LANE_TILE = 512  # batch lanes per kernel instance (4 lane-tiles of 128)
+
+
+def _interpret() -> bool:
+    """Run kernels in interpreter mode off-TPU (CPU tests)."""
+    if os.environ.get("VSTPU_PALLAS_INTERPRET"):
+        return True
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# In-kernel emitters: ops on (L, B) uint32 values, 16-bit limbs, unrolled.
+# ---------------------------------------------------------------------------
+
+
+class FqEmit:
+    """Emits unrolled Montgomery arithmetic on (L, B) values inside a kernel.
+
+    Element values are canonical ([0, N)) at op boundaries; within one multiply
+    the column accumulator is lazy (sums < 2^24 in uint32).
+    """
+
+    def __init__(self, spec: FieldSpec):
+        assert spec.limb_bits == 16, "pallas path is the 16-bit-limb TPU layout"
+        self.spec = spec
+        self.L = spec.num_limbs
+        self.mask = np.uint32(spec.mask)
+        self.n0inv = np.uint32(spec.n0_inv)
+        self.n_ints = [int(v) for v in spec.to_limbs(spec.modulus)]
+        self.one_ints = [int(v) for v in spec.to_limbs(spec.to_mont(1))]
+
+    def _const_rows(self, ints, ncols):
+        """Constant (L, B) matrix built from scalars (pallas kernels cannot
+        capture non-scalar constants, so materialise via broadcasts)."""
+        return jnp.stack(
+            [jnp.full((ncols,), v, jnp.uint32) for v in ints], axis=0
+        )
+
+    # -- helpers ------------------------------------------------------------
+
+    def _ripple(self, rows):
+        """List of L (B,) lazy columns (< 2^24) -> list of L canonical limbs.
+        Any final carry is dropped (callers guarantee value < 2^(16L))."""
+        out = []
+        c = jnp.zeros_like(rows[0])
+        for k in range(self.L):
+            t = rows[k] + c
+            out.append(t & self.mask)
+            c = t >> 16
+        return out
+
+    def _csub_n(self, rows):
+        """Canonical limbs, value < 2N -> value < N (conditional subtract)."""
+        borrow = jnp.zeros_like(rows[0])
+        diff = []
+        for k in range(self.L):
+            t = rows[k] - np.uint32(self.n_ints[k]) - borrow
+            diff.append(t & self.mask)
+            borrow = (t >> 16) & np.uint32(1)
+        ge = borrow == 0  # no borrow -> value >= N -> keep the difference
+        return [jnp.where(ge, d, r) for d, r in zip(diff, rows)]
+
+    @staticmethod
+    def _stack(rows):
+        return jnp.stack(rows, axis=0)
+
+    @staticmethod
+    def _rows(x):
+        return [x[k] for k in range(x.shape[0])]
+
+    # -- field ops ----------------------------------------------------------
+
+    def mul(self, a, b):
+        """Montgomery product on (L, B) canonical values.
+
+        The 2L-column lazy accumulator lives in a VMEM scratch ref
+        (``self.acc``, set by the kernel) — Mosaic supports read/store on
+        static ref slices but not dynamic_update_slice on values.
+        """
+        L, mask = self.L, self.mask
+        acc = self.acc  # VMEM ref, shape (2L, B)
+        acc[:] = jnp.zeros((2 * L, a.shape[1]), jnp.uint32)
+        # product phase: column k accumulates sum_{i+j=k} a_i*b_j (lazy)
+        for i in range(L):
+            p = a[i][None, :] * b  # exact: 16x16-bit products in uint32
+            acc[i : i + L] = acc[i : i + L] + (p & mask)
+            acc[i + 1 : i + L + 1] = acc[i + 1 : i + L + 1] + (p >> 16)
+        # Montgomery reduction: L unrolled steps, static offsets (no roll/scan)
+        n = self._const_rows(self.n_ints, a.shape[1])
+        for r in range(L):
+            m = (acc[r] * self.n0inv) & mask
+            p = m[None, :] * n
+            acc[r : r + L] = acc[r : r + L] + (p & mask)
+            acc[r + 1 : r + L + 1] = acc[r + 1 : r + L + 1] + (p >> 16)
+            acc[r + 1] = acc[r + 1] + (acc[r] >> 16)
+        rows = self._ripple([acc[L + k] for k in range(L)])
+        return self._stack(self._csub_n(rows))
+
+    def sq(self, a):
+        return self.mul(a, a)
+
+    def add(self, a, b):
+        s = a + b
+        rows = self._ripple([s[k] for k in range(self.L)])
+        return self._stack(self._csub_n(rows))
+
+    def dbl(self, a):
+        return self.add(a, a)
+
+    def sub(self, a, b):
+        borrow = jnp.zeros_like(a[0])
+        diff = []
+        for k in range(self.L):
+            t = a[k] - b[k] - borrow
+            diff.append(t & self.mask)
+            borrow = (t >> 16) & np.uint32(1)
+        # on borrow, add N back (the carry out of the top limb cancels it)
+        fixed, c = [], jnp.zeros_like(a[0])
+        for k in range(self.L):
+            t = diff[k] + np.uint32(self.n_ints[k]) + c
+            fixed.append(t & self.mask)
+            c = t >> 16
+        neg = borrow == 1
+        return self._stack([jnp.where(neg, f, d) for f, d in zip(fixed, diff)])
+
+    def is_zero(self, a):
+        z = a[0] == 0
+        for k in range(1, self.L):
+            z = z & (a[k] == 0)
+        return z
+
+    def select(self, cond, a, b):
+        """cond: (B,) bool -> where(cond, a, b) on (L, B) values."""
+        return jnp.where(cond[None, :], a, b)
+
+    def zero_like(self, a):
+        return jnp.zeros_like(a)
+
+    def one_like(self, a):
+        return self._const_rows(self.one_ints, a.shape[1])
+
+
+class Fq2Emit:
+    """Fq2 = Fq[u]/(u^2+1) on pairs (c0, c1) of (L, B) values (Karatsuba)."""
+
+    def __init__(self, fq: FqEmit):
+        self.fq = fq
+
+    def mul(self, a, b):
+        f = self.fq
+        t0 = f.mul(a[0], b[0])
+        t1 = f.mul(a[1], b[1])
+        t2 = f.mul(f.add(a[0], a[1]), f.add(b[0], b[1]))
+        return (f.sub(t0, t1), f.sub(t2, f.add(t0, t1)))
+
+    def sq(self, a):
+        f = self.fq
+        t0 = f.mul(f.add(a[0], a[1]), f.sub(a[0], a[1]))
+        t1 = f.mul(a[0], a[1])
+        return (t0, f.add(t1, t1))
+
+    def add(self, a, b):
+        return (self.fq.add(a[0], b[0]), self.fq.add(a[1], b[1]))
+
+    def dbl(self, a):
+        return self.add(a, a)
+
+    def sub(self, a, b):
+        return (self.fq.sub(a[0], b[0]), self.fq.sub(a[1], b[1]))
+
+    def is_zero(self, a):
+        return self.fq.is_zero(a[0]) & self.fq.is_zero(a[1])
+
+    def select(self, cond, a, b):
+        return (self.fq.select(cond, a[0], b[0]), self.fq.select(cond, a[1], b[1]))
+
+    def zero_like(self, a):
+        return (self.fq.zero_like(a[0]), self.fq.zero_like(a[1]))
+
+    def one_like(self, a):
+        return (self.fq.one_like(a[0]), self.fq.zero_like(a[1]))
+
+
+# ---------------------------------------------------------------------------
+# Jacobian group-law formulas over an emitter (shared by G1/Fq and G2/Fq2).
+# Identical math to curve_ops.JacobianOps (a = 0 short Weierstrass).
+# ---------------------------------------------------------------------------
+
+
+def _jac_double(f, p):
+    x1, y1, z1 = p
+    a = f.sq(x1)
+    b = f.sq(y1)
+    c = f.sq(b)
+    d = f.sub(f.sq(f.add(x1, b)), f.add(a, c))
+    d = f.add(d, d)
+    e = f.add(f.add(a, a), a)
+    ff = f.sq(e)
+    x3 = f.sub(ff, f.add(d, d))
+    c8 = f.add(c, c)
+    c8 = f.add(c8, c8)
+    c8 = f.add(c8, c8)
+    y3 = f.sub(f.mul(e, f.sub(d, x3)), c8)
+    z3 = f.mul(f.add(y1, y1), z1)
+    return (x3, y3, z3)
+
+
+def _jac_add(f, p, q, complete: bool):
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    z1z1 = f.sq(z1)
+    z2z2 = f.sq(z2)
+    u1 = f.mul(x1, z2z2)
+    u2 = f.mul(x2, z1z1)
+    s1 = f.mul(f.mul(y1, z2), z2z2)
+    s2 = f.mul(f.mul(y2, z1), z1z1)
+    h = f.sub(u2, u1)
+    rr = f.sub(s2, s1)
+    rr = f.add(rr, rr)
+    i = f.sq(f.add(h, h))
+    j = f.mul(h, i)
+    v = f.mul(u1, i)
+    x3 = f.sub(f.sub(f.sq(rr), j), f.add(v, v))
+    s1j = f.mul(s1, j)
+    y3 = f.sub(f.mul(rr, f.sub(v, x3)), f.add(s1j, s1j))
+    z3 = f.mul(f.sub(f.sq(f.add(z1, z2)), f.add(z1z1, z2z2)), h)
+    out = (x3, y3, z3)
+
+    p_inf = f.is_zero(z1)
+    q_inf = f.is_zero(z2)
+    if complete:
+        h_zero = f.is_zero(h)
+        r_zero = f.is_zero(rr)
+        same = h_zero & r_zero & ~p_inf & ~q_inf
+        opposite = h_zero & ~r_zero & ~p_inf & ~q_inf
+        dbl = _jac_double(f, p)
+        one = f.one_like(x1)
+        inf = (one, one, f.zero_like(x1))
+        out = tuple(f.select(same, d, g) for d, g in zip(dbl, out))
+        out = tuple(f.select(opposite, iz, o) for iz, o in zip(inf, out))
+    out = tuple(f.select(p_inf, qq, o) for qq, o in zip(q, out))
+    out = tuple(f.select(q_inf & ~p_inf, pp, o) for pp, o in zip(p, out))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers.  I/O uses the framework layout:
+#   G1 coord: (B, L) uint32;  G2 coord: (B, 2, L) uint32.
+# Kernels see transposed (L, B) / (2, L, B) blocks, tiled over the batch.
+# ---------------------------------------------------------------------------
+
+
+def _g1_spec(tile):
+    L = fq_spec().num_limbs
+    return pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+
+def _g2_spec(tile):
+    L = fq_spec().num_limbs
+    return pl.BlockSpec((2, L, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+
+def _c2(x):  # (2, L, B) -> ((L,B), (L,B))
+    return (x[0], x[1])
+
+
+@functools.cache
+def _g1_add_call(ntiles: int, tile: int, complete: bool):
+    emit = FqEmit(fq_spec())
+    L = emit.L
+
+    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, acc):
+        emit.acc = acc
+        p = (x1[:], y1[:], z1[:])
+        q = (x2[:], y2[:], z2[:])
+        rx, ry, rz = _jac_add(emit, p, q, complete)
+        ox[:], oy[:], oz[:] = rx, ry, rz
+
+    shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[_g1_spec(tile)] * 6,
+        out_specs=(_g1_spec(tile),) * 3,
+        out_shape=(shp,) * 3,
+        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        interpret=_interpret(),
+    )
+
+
+@functools.cache
+def _g1_dbl_call(ntiles: int, tile: int):
+    emit = FqEmit(fq_spec())
+    L = emit.L
+
+    def kernel(x1, y1, z1, ox, oy, oz, acc):
+        emit.acc = acc
+        rx, ry, rz = _jac_double(emit, (x1[:], y1[:], z1[:]))
+        ox[:], oy[:], oz[:] = rx, ry, rz
+
+    shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[_g1_spec(tile)] * 3,
+        out_specs=(_g1_spec(tile),) * 3,
+        out_shape=(shp,) * 3,
+        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        interpret=_interpret(),
+    )
+
+
+@functools.cache
+def _g2_add_call(ntiles: int, tile: int, complete: bool):
+    emit = Fq2Emit(FqEmit(fq_spec()))
+    L = emit.fq.L
+
+    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, acc):
+        emit.fq.acc = acc
+        p = tuple(_c2(c[:]) for c in (x1, y1, z1))
+        q = tuple(_c2(c[:]) for c in (x2, y2, z2))
+        r = _jac_add(emit, p, q, complete)
+        for oref, val in zip((ox, oy, oz), r):
+            oref[:] = jnp.stack(val, axis=0)
+
+    shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[_g2_spec(tile)] * 6,
+        out_specs=(_g2_spec(tile),) * 3,
+        out_shape=(shp,) * 3,
+        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        interpret=_interpret(),
+    )
+
+
+@functools.cache
+def _g2_dbl_call(ntiles: int, tile: int):
+    emit = Fq2Emit(FqEmit(fq_spec()))
+    L = emit.fq.L
+
+    def kernel(x1, y1, z1, ox, oy, oz, acc):
+        emit.fq.acc = acc
+        p = tuple(_c2(c[:]) for c in (x1, y1, z1))
+        r = _jac_double(emit, p)
+        for oref, val in zip((ox, oy, oz), r):
+            oref[:] = jnp.stack(val, axis=0)
+
+    shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[_g2_spec(tile)] * 3,
+        out_specs=(_g2_spec(tile),) * 3,
+        out_shape=(shp,) * 3,
+        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        interpret=_interpret(),
+    )
+
+
+def _pick_tile(n: int) -> int:
+    """Lane-tile: 128-multiple, at most LANE_TILE, covering n without waste."""
+    t = 128
+    while t < LANE_TILE and t < n:
+        t *= 2
+    return t
+
+
+def _to_kernel_layout(coord, g2: bool):
+    """(B, L) -> (L, Bpad) or (B, 2, L) -> (2, L, Bpad); returns (arr, B, tile)."""
+    b = coord.shape[0]
+    tile = _pick_tile(b)
+    pad = (-b) % tile
+    if g2:
+        x = jnp.moveaxis(coord, 0, -1)  # (2, L, B)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
+    else:
+        x = jnp.moveaxis(coord, 0, -1)  # (L, B)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, pad)))
+    return x, b, tile
+
+
+def _from_kernel_layout(arr, b: int):
+    return jnp.moveaxis(arr, -1, 0)[:b]
+
+
+def g1_add_pallas(p, q, complete: bool = True):
+    """Batched complete Jacobian add; coords (..., L) broadcast-compatible."""
+    p = tuple(jnp.asarray(c, jnp.uint32) for c in p)
+    q = tuple(jnp.asarray(c, jnp.uint32) for c in q)
+    shape = jnp.broadcast_shapes(p[0].shape, q[0].shape)
+    lead = shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    ins = []
+    for c in (*p, *q):
+        c = jnp.broadcast_to(c, shape).reshape(n, shape[-1])
+        arr, _, tile = _to_kernel_layout(c, g2=False)
+        ins.append(arr)
+    ntiles = ins[0].shape[-1] // tile
+    outs = _g1_add_call(ntiles, tile, complete)(*ins)
+    return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
+
+
+def g1_double_pallas(p):
+    p = tuple(jnp.asarray(c, jnp.uint32) for c in p)
+    shape = p[0].shape
+    lead = shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    ins = []
+    for c in p:
+        arr, _, tile = _to_kernel_layout(c.reshape(n, shape[-1]), g2=False)
+        ins.append(arr)
+    ntiles = ins[0].shape[-1] // tile
+    outs = _g1_dbl_call(ntiles, tile)(*ins)
+    return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
+
+
+def g2_add_pallas(p, q, complete: bool = True):
+    """Batched complete G2 Jacobian add; coords (..., 2, L)."""
+    p = tuple(jnp.asarray(c, jnp.uint32) for c in p)
+    q = tuple(jnp.asarray(c, jnp.uint32) for c in q)
+    shape = jnp.broadcast_shapes(p[0].shape, q[0].shape)
+    lead = shape[:-2]
+    n = int(np.prod(lead)) if lead else 1
+    ins = []
+    for c in (*p, *q):
+        c = jnp.broadcast_to(c, shape).reshape(n, 2, shape[-1])
+        arr, _, tile = _to_kernel_layout(c, g2=True)
+        ins.append(arr)
+    ntiles = ins[0].shape[-1] // tile
+    outs = _g2_add_call(ntiles, tile, complete)(*ins)
+    return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
+
+
+def g2_double_pallas(p):
+    p = tuple(jnp.asarray(c, jnp.uint32) for c in p)
+    shape = p[0].shape
+    lead = shape[:-2]
+    n = int(np.prod(lead)) if lead else 1
+    ins = []
+    for c in p:
+        arr, _, tile = _to_kernel_layout(c.reshape(n, 2, shape[-1]), g2=True)
+        ins.append(arr)
+    ntiles = ins[0].shape[-1] // tile
+    outs = _g2_dbl_call(ntiles, tile)(*ins)
+    return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
+
+
+# ---------------------------------------------------------------------------
+# Standalone field multiply (used by NTT/pairing layers and unit tests).
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _mul_call(name: str, ntiles: int, tile: int):
+    spec = fq_spec() if name == "fq" else fr_spec()
+    emit = FqEmit(spec)
+    L = emit.L
+
+    def kernel(a, b, o, acc):
+        emit.acc = acc
+        o[:] = emit.mul(a[:], b[:])
+
+    bspec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[bspec, bspec],
+        out_specs=bspec,
+        out_shape=jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32),
+        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        interpret=_interpret(),
+    )
+
+
+def mont_mul_pallas(spec_name: str, a, b):
+    """Montgomery product on (..., L) uint32 arrays ('fq' or 'fr')."""
+    a = jnp.asarray(a, jnp.uint32)
+    b = jnp.asarray(b, jnp.uint32)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    lead = shape[:-1]
+    n = int(np.prod(lead)) if lead else 1
+    aa = jnp.broadcast_to(a, shape).reshape(n, shape[-1])
+    bb = jnp.broadcast_to(b, shape).reshape(n, shape[-1])
+    arr_a, _, tile = _to_kernel_layout(aa, g2=False)
+    arr_b, _, _ = _to_kernel_layout(bb, g2=False)
+    ntiles = arr_a.shape[-1] // tile
+    out = _mul_call(spec_name, ntiles, tile)(arr_a, arr_b)
+    return _from_kernel_layout(out, n).reshape(shape)
+
+
+# ---------------------------------------------------------------------------
+# Mixed addition (Jacobian accumulator += affine point) for bucket MSM.
+# ---------------------------------------------------------------------------
+
+
+def _jac_madd(f, acc, q, sign, active):
+    """acc (Jacobian) += (-1)^sign * q (affine), where active; else acc.
+
+    Returns (out, exceptional): `exceptional` is true on the H==0, r==0
+    doubling corner (partial bucket sum collided with the incoming point) —
+    the caller falls back to a complete-formula MSM in that (negligible-
+    probability, but adversarially reachable) case rather than paying the
+    doubling branch on every step.
+    """
+    x1, y1, z1 = acc
+    x2, y2 = q
+    y2 = f.select(sign, f.sub(f.zero_like(y2), y2), y2)
+    z1z1 = f.sq(z1)
+    u2 = f.mul(x2, z1z1)
+    s2 = f.mul(f.mul(y2, z1), z1z1)
+    h = f.sub(u2, x1)
+    hh = f.sq(h)
+    i = f.add(hh, hh)
+    i = f.add(i, i)
+    j = f.mul(h, i)
+    r = f.sub(s2, y1)
+    r = f.add(r, r)
+    v = f.mul(x1, i)
+    x3 = f.sub(f.sub(f.sq(r), j), f.add(v, v))
+    y1j = f.mul(y1, j)
+    y3 = f.sub(f.mul(r, f.sub(v, x3)), f.add(y1j, y1j))
+    z3 = f.sub(f.sub(f.sq(f.add(z1, h)), z1z1), hh)
+    out = (x3, y3, z3)
+
+    p_inf = f.is_zero(z1)
+    h_zero = f.is_zero(h)
+    r_zero = f.is_zero(r)
+    one = f.one_like(x1)
+    # fresh bucket: acc == inf -> lift q to Jacobian
+    lifted = (x2, y2, one)
+    out = tuple(f.select(p_inf, lq, o) for lq, o in zip(lifted, out))
+    # opposite points -> infinity
+    opposite = h_zero & r_zero & ~p_inf  # NB: for madd h==0 && r==0 is the
+    # doubling corner; h==0 && r!=0 is "opposite"; flag the former
+    inf = (one, one, f.zero_like(x1))
+    out = tuple(
+        f.select(h_zero & ~r_zero & ~p_inf, iz, o) for iz, o in zip(inf, out)
+    )
+    exceptional = opposite & active
+    out = tuple(f.select(active, o, a) for o, a in zip(out, acc))
+    return out, exceptional
+
+
+@functools.cache
+def _g1_madd_call(ntiles: int, tile: int):
+    emit = FqEmit(fq_spec())
+    L = emit.L
+    fspec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def kernel(x1, y1, z1, x2, y2, flags, ox, oy, oz, oexc, acc):
+        emit.acc = acc
+        sign = flags[0] != 0
+        active = flags[1] != 0
+        p = (x1[:], y1[:], z1[:])
+        q = (x2[:], y2[:])
+        (rx, ry, rz), exc = _jac_madd(emit, p, q, sign, active)
+        ox[:], oy[:], oz[:] = rx, ry, rz
+        row = jnp.where(exc, jnp.uint32(1), jnp.uint32(0))
+        oexc[:] = jnp.broadcast_to(row[None, :], (8, row.shape[0]))
+
+    shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
+    eshp = jax.ShapeDtypeStruct((8, ntiles * tile), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[_g1_spec(tile)] * 5 + [fspec],
+        out_specs=(_g1_spec(tile),) * 3 + (fspec,),
+        out_shape=(shp,) * 3 + (eshp,),
+        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        interpret=_interpret(),
+    )
+
+
+@functools.cache
+def _g2_madd_call(ntiles: int, tile: int):
+    emit = Fq2Emit(FqEmit(fq_spec()))
+    L = emit.fq.L
+    fspec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    def kernel(x1, y1, z1, x2, y2, flags, ox, oy, oz, oexc, acc):
+        emit.fq.acc = acc
+        sign = flags[0] != 0
+        active = flags[1] != 0
+        p = tuple(_c2(c[:]) for c in (x1, y1, z1))
+        q = tuple(_c2(c[:]) for c in (x2, y2))
+        (rx, ry, rz), exc = _jac_madd(emit, p, q, sign, active)
+        for oref, val in zip((ox, oy, oz), (rx, ry, rz)):
+            oref[:] = jnp.stack(val, axis=0)
+        row = jnp.where(exc, jnp.uint32(1), jnp.uint32(0))
+        oexc[:] = jnp.broadcast_to(row[None, :], (8, row.shape[0]))
+
+    shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
+    eshp = jax.ShapeDtypeStruct((8, ntiles * tile), jnp.uint32)
+    return pl.pallas_call(
+        kernel,
+        grid=(ntiles,),
+        in_specs=[_g2_spec(tile)] * 5 + [fspec],
+        out_specs=(_g2_spec(tile),) * 3 + (fspec,),
+        out_shape=(shp,) * 3 + (eshp,),
+        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        interpret=_interpret(),
+    )
+
+
+def g1_madd_pallas(acc, q_affine, sign, active):
+    """acc: Jacobian coords (B, L); q_affine: (x, y) each (B, L);
+    sign/active: (B,) bool.  Returns ((B,L)x3 acc', (B,) uint32 exc)."""
+    accs = tuple(jnp.asarray(c, jnp.uint32) for c in acc)
+    qs = tuple(jnp.asarray(c, jnp.uint32) for c in q_affine)
+    b = accs[0].shape[0]
+    ins = []
+    tile = _pick_tile(b)
+    for c in (*accs, *qs):
+        arr, _, tile = _to_kernel_layout(c, g2=False)
+        ins.append(arr)
+    flags = jnp.stack(
+        [
+            jnp.asarray(sign, jnp.uint32),
+            jnp.asarray(active, jnp.uint32),
+        ],
+        axis=0,
+    )
+    pad = ins[0].shape[-1] - b
+    flags = jnp.pad(flags, ((0, 6), (0, pad)))
+    ntiles = ins[0].shape[-1] // tile
+    ox, oy, oz, exc = _g1_madd_call(ntiles, tile)(*ins, flags)
+    out = tuple(_from_kernel_layout(o, b) for o in (ox, oy, oz))
+    return out, exc[0, :b]
+
+
+def g2_madd_pallas(acc, q_affine, sign, active):
+    """G2 variant: coords (B, 2, L)."""
+    accs = tuple(jnp.asarray(c, jnp.uint32) for c in acc)
+    qs = tuple(jnp.asarray(c, jnp.uint32) for c in q_affine)
+    b = accs[0].shape[0]
+    ins = []
+    tile = _pick_tile(b)
+    for c in (*accs, *qs):
+        arr, _, tile = _to_kernel_layout(c, g2=True)
+        ins.append(arr)
+    flags = jnp.stack(
+        [
+            jnp.asarray(sign, jnp.uint32),
+            jnp.asarray(active, jnp.uint32),
+        ],
+        axis=0,
+    )
+    pad = ins[0].shape[-1] - b
+    flags = jnp.pad(flags, ((0, 6), (0, pad)))
+    ntiles = ins[0].shape[-1] // tile
+    ox, oy, oz, exc = _g2_madd_call(ntiles, tile)(*ins, flags)
+    out = tuple(_from_kernel_layout(o, b) for o in (ox, oy, oz))
+    return out, exc[0, :b]
