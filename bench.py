@@ -1,30 +1,31 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Primary metric (BASELINE.json): MSM Mpoints/s on the G1 Pippenger kernel
-(the Groth16 prover's dominant cost); secondary numbers (NTT Mbutterflies/s,
-batched Pedersen hashes/s) ride along in "extra".  vs_baseline is 1.0: the
-reference publishes no numbers (BASELINE.md — measured, not inherited).
+Primary metric (BASELINE.json): G1 MSM Mpoints/s on the scheduled-bucket
+Pippenger kernel (ops/msm_sched.py) at n=2^16 — the Groth16 prover's dominant
+cost.  Secondary numbers ride along in "extra": fused Pallas field-mul and
+curve-add throughput, NTT Mbutterflies/s.
 
-Runs on whatever jax.default_backend() provides — real TPU under the driver.
+Timing is dependency-forced: inputs are device-resident, every rep fetches a
+scalar of the result to host (the axon remote backend otherwise reports
+async-dispatch time, ~100x optimistic — measured).  vs_baseline is 1.0: the
+reference publishes no numbers (BASELINE.md — measured, not inherited).
 """
 
 from __future__ import annotations
 
 import json
+import pathlib
 import random
 import sys
 import time
 
+_REPO = pathlib.Path(__file__).resolve().parent
+
 
 def _enable_compile_cache():
-    """Persistent XLA compilation cache inside the repo: TPU compiles via the
-    axon remote service take minutes and are highly variable; warm cache
-    entries make repeat bench runs start in seconds."""
-    import pathlib
-
     import jax
 
-    cache = pathlib.Path(__file__).resolve().parent / ".jax_cache"
+    cache = _REPO / ".jax_cache"
     cache.mkdir(exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(cache))
@@ -33,81 +34,129 @@ def _enable_compile_cache():
         pass
 
 
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _bench_points(n: int):
+    """n distinct affine G1 points via a random walk (cached on disk).
+
+    Random 64-bit step multiples keep bucket partial-sum collisions (the madd
+    doubling corner) at negligible probability, unlike consecutive multiples.
+    """
+    import numpy as np
+
+    from vote_saver_tpu.refimpl import curves as rc
+
+    cache = _REPO / ".bench_cache"
+    cache.mkdir(exist_ok=True)
+    f = cache / f"g1_points_{n}.npy"
+    if f.exists():
+        arr = np.load(f, allow_pickle=True)
+        return [tuple(int(v) for v in p) for p in arr]
+    rng = random.Random(0xD15C)
+    deltas = [rc.g1_mul(rc.g1_gen, rng.randrange(1, 1 << 64)) for _ in range(16)]
+    pts, cur = [], rc.g1_gen
+    for i in range(n):
+        pts.append(cur)
+        cur = rc.g1_add(cur, deltas[i % 16])
+    np.save(f, np.array([[p[0], p[1]] for p in pts], dtype=object))
+    return pts
+
+
 def main():
     import jax
     import numpy as np
 
     _enable_compile_cache()
 
-    from vote_saver_tpu.params import R, fr_spec
-    from vote_saver_tpu.ops import curve_ops as co, msm, limbs as lb, pedersen_ops as po
-    from vote_saver_tpu.ops.field_ops import fr_ops
+    from vote_saver_tpu.params import R, fq_spec, fr_spec
+    from vote_saver_tpu.ops import limbs as lb
+    from vote_saver_tpu.ops import msm_sched as ms
+    from vote_saver_tpu.ops import pallas_field as pf
     from vote_saver_tpu.ops.ntt import get_ntt
-    from vote_saver_tpu.refimpl import curves as rc
 
-    main._t_start = time.time()
+    t_start = time.time()
     backend = jax.default_backend()
     rng = random.Random(0xBE11C)
-    g1 = co.g1_ops()
+    extra = {"backend": backend}
 
-    def log(*a):
-        print(*a, file=sys.stderr, flush=True)
-
-    # ---- MSM (primary) -----------------------------------------------------
-    n = 4096
-    log(f"[bench] building {n} points on host ...")
-    pts, p = [], rc.g1_gen
-    for i in range(n):
-        pts.append(p)
-        p = rc.g1_add(p, rc.g1_gen if i % 2 else pts[0])
-    dp = co.g1_to_device(pts)
-    # batched windowed var-base MSM (the prover's configuration): measured
-    # ~3x faster than sort-based Pippenger on TPU and far cheaper to compile.
-    B = 4
-    digs = np.stack(
-        [
-            msm.scalars_to_window_digits([rng.randrange(R) for _ in range(n)])
-            for _ in range(B)
-        ]
-    )
-    fn = jax.jit(
-        lambda p_, d_: jax.vmap(lambda dd: msm.msm_var_base(g1, p_, dd))(d_)
-    )
+    # ---- scheduled MSM (primary) -------------------------------------------
+    n = 1 << 16
+    w = 10
+    log(f"[bench] building {n} walk points ...")
+    pts = _bench_points(n)
+    scalars = [rng.randrange(R) for _ in range(n)]
     t0 = time.time()
-    out = fn(dp, digs)
-    jax.block_until_ready(out)
-    log(f"[bench] msm compile+first run: {time.time()-t0:.1f}s on {backend}")
-    reps = 3
+    sched = ms.build_schedule(scalars, w)
+    t_sched = time.time() - t0
+    pxy = jax.device_put(ms.g1_affine_to_device(pts))
+    codes = jax.device_put(sched.codes)
+    mi = jax.device_put(sched.merge_idx)
+    fn = ms._msm_device_jit("g1", sched.num_windows, sched.window_bits)
+    t0 = time.time()
+    res, exc = fn(pxy, codes, mi)
+    np.asarray(res[0])
+    log(f"[bench] msm compile+first: {time.time()-t0:.1f}s on {backend}; "
+        f"host schedule {t_sched*1e3:.0f}ms; exc={bool(np.asarray(exc))}")
+    reps = 5
     t0 = time.time()
     for _ in range(reps):
-        out = fn(dp, digs)
-    jax.block_until_ready(out)
+        res, _e = fn(pxy, codes, mi)
+        np.asarray(res[0])  # host fetch forces completion
     msm_dt = (time.time() - t0) / reps
-    msm_mpps = B * n / msm_dt / 1e6
+    msm_mpps = n / msm_dt / 1e6
+    extra.update(
+        msm_n=n, msm_window=w, msm_ms=round(msm_dt * 1e3, 1),
+        msm_sched_host_ms=round(t_sched * 1e3, 1),
+        msm_steps=int(sched.codes.shape[0]), msm_lanes=sched.lanes,
+    )
 
-    extra = {"backend": backend, "msm_n": n, "msm_batch": B, "msm_ms": round(msm_dt * 1e3, 1)}
+    # ---- fused field mul / curve add (secondary) ---------------------------
+    try:
+        spec = fq_spec()
+        B = 1 << 17
+        xs = np.random.RandomState(0).randint(0, 1 << 16, size=(B, spec.num_limbs)).astype(np.uint32)
+        ys = np.random.RandomState(1).randint(0, 1 << 16, size=(B, spec.num_limbs)).astype(np.uint32)
+        xs[:, -1] = 0
+        ys[:, -1] = 0
+        xs, ys = jax.device_put(xs), jax.device_put(ys)
+        mul_pl = jax.jit(lambda a, b: pf.mont_mul_pallas("fq", a, b))
+        v = mul_pl(xs, ys)
+        np.asarray(v[0])
+        t0 = time.time()
+        N = 20
+        v = xs
+        for _ in range(N):
+            v = mul_pl(v, ys)
+        np.asarray(v[0])
+        dt = (time.time() - t0) / N
+        extra["fq_mul_mps"] = round(B / dt / 1e6, 1)
+    except Exception as e:  # pragma: no cover
+        log(f"[bench] fq mul skipped: {e}")
 
-    # ---- NTT (secondary; skipped when the remote-compile budget is spent) --
-    bench_start = getattr(main, "_t_start", None) or 0.0
-    if time.time() - bench_start < 900:
+    # ---- NTT (secondary; skipped when the compile budget is spent) ---------
+    if time.time() - t_start < 900:
         try:
             dom = 1 << 14
             ntt = get_ntt(dom)
             spec = fr_spec()
-            coeffs = lb.ints_to_mont_limbs([rng.randrange(R) for _ in range(dom)], spec)
+            coeffs = jax.device_put(
+                lb.ints_to_mont_limbs([rng.randrange(R) for _ in range(dom)], spec)
+            )
             fn_ntt = jax.jit(ntt.ntt)
+            v = fn_ntt(coeffs)
+            np.asarray(v[0])
             t0 = time.time()
-            jax.block_until_ready(fn_ntt(coeffs))
-            log(f"[bench] ntt compile+first run: {time.time()-t0:.1f}s")
-            t0 = time.time()
+            v = coeffs
             for _ in range(10):
-                out = fn_ntt(coeffs)
-            jax.block_until_ready(out)
+                v = fn_ntt(v)
+            np.asarray(v[0])
             ntt_dt = (time.time() - t0) / 10
             butterflies = dom // 2 * (dom.bit_length() - 1)
             extra["ntt_mbutterflies_per_s"] = round(butterflies / ntt_dt / 1e6, 2)
             extra["ntt_domain"] = dom
-        except Exception as e:  # pragma: no cover - defensive on TPU quirks
+        except Exception as e:  # pragma: no cover
             log(f"[bench] ntt skipped: {e}")
 
     print(

@@ -47,27 +47,42 @@ _SIGN_BIT = 1 << 30
 # ---------------------------------------------------------------------------
 
 
-def signed_digits(scalars, window_bits: int) -> np.ndarray:
-    """(n,) ints -> (n, K) int32 signed digits, d_j in [-2^(w-1), 2^(w-1)].
+def _bits_from_limbs(limbs: np.ndarray, limb_bits: int, nbits: int) -> np.ndarray:
+    """(n, L) unsigned limbs -> (n, nbits) 0/1 int64 matrix (vectorised)."""
+    n, L = limbs.shape
+    shifts = np.arange(limb_bits, dtype=np.uint64)
+    bits = (limbs[:, :, None].astype(np.uint64) >> shifts) & np.uint64(1)
+    bits = bits.reshape(n, L * limb_bits).astype(np.int64)
+    if bits.shape[1] < nbits:
+        bits = np.pad(bits, ((0, 0), (0, nbits - bits.shape[1])))
+    return bits[:, :nbits]
 
-    sum_j d_j * 2^(w*j) == scalar; vectorised over a (n, 256) bit matrix.
+
+def signed_digits(scalars, window_bits: int, scalar_limbs=None) -> np.ndarray:
+    """Scalars -> (n, K) int32 signed digits, d_j in [-2^(w-1), 2^(w-1)].
+
+    sum_j d_j * 2^(w*j) == scalar.  Pass ``scalar_limbs`` ((n, L) plain LE
+    limbs in the active layout) to skip the python int conversion — the hot
+    prover path already holds limbs.
     """
     w = window_bits
-    n = len(scalars)
     nbits = 256 + w  # headroom for the final carry window
     K = nbits // w + (1 if nbits % w else 0)
-    bits = np.zeros((n, K * w), dtype=np.int64)
-    for i, s in enumerate(scalars):
-        s = int(s)
-        ii = 0
-        while s:
-            chunk = s & ((1 << 63) - 1)
-            for b in range(63):
-                if chunk >> b & 1:
-                    bits[i, ii + b] = 1
-            s >>= 63
-            ii += 63
-    weights = (1 << np.arange(w, dtype=np.int64))
+    if scalar_limbs is None:
+        from ..params import fr_spec
+
+        scalar_limbs = lb.ints_to_limbs(
+            np.asarray(scalars, dtype=object), fr_spec()
+        )
+        limb_bits = fr_spec().limb_bits
+    else:
+        from ..params import fr_spec
+
+        limb_bits = fr_spec().limb_bits
+    scalar_limbs = np.asarray(scalar_limbs)
+    n = scalar_limbs.shape[0]
+    bits = _bits_from_limbs(scalar_limbs, limb_bits, K * w)
+    weights = 1 << np.arange(w, dtype=np.int64)
     digs = bits.reshape(n, K, w) @ weights  # (n, K) raw base-2^w digits
     out = np.zeros((n, K), dtype=np.int64)
     carry = np.zeros(n, dtype=np.int64)
@@ -102,10 +117,23 @@ class Schedule:
     total_entries: int
 
 
-def build_schedule(scalars, window_bits: int = 10, inf_mask=None) -> Schedule:
-    """Assign every nonzero (window, point) digit to (step, bucket-lane)."""
+def _pad_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def build_schedule(
+    scalars=None,
+    window_bits: int = 10,
+    inf_mask=None,
+    scalar_limbs=None,
+) -> Schedule:
+    """Assign every nonzero (window, point) digit to (step, bucket-lane).
+
+    Shapes (steps, lanes, merge rounds) are padded to coarse multiples so
+    repeated MSMs of the same size reuse one compiled device program.
+    """
     w = window_bits
-    digs = signed_digits(scalars, w)  # (n, K)
+    digs = signed_digits(scalars, w, scalar_limbs=scalar_limbs)  # (n, K)
     n, K = digs.shape
     bw = 1 << (w - 1)
     canon = K * bw
@@ -140,19 +168,21 @@ def build_schedule(scalars, window_bits: int = 10, inf_mask=None) -> Schedule:
     pair_key = lane_s[spill] * max_chunk + chunk[spill]
     uniq, pair_inv = np.unique(pair_key, return_inverse=True)
     n_orphans = uniq.shape[0]
-    lanes = -(-(canon + n_orphans) // 128) * 128
+    lanes = _pad_up(canon + max(n_orphans, 1), 1024)
 
     entry_lane = lane_s.copy()
     entry_lane[spill] = canon + pair_inv
 
-    codes = np.zeros((max(int(step.max()) + 1 if total else 1, 1), lanes), dtype=np.int32)
+    nsteps = _pad_up(max(int(step.max()) + 1 if total else 1, 1), 8)
+    codes = np.zeros((nsteps, lanes), dtype=np.int32)
     codes[step, entry_lane] = (p_s + 1) | (sign_s << 30)
 
     # merge schedule: orphan r of canonical lane c -> merge_idx[r, c]
     if n_orphans:
-        orph_canon = lane_s[spill][np.unique(pair_key, return_index=True)[1]]
-        orph_chunk = chunk[spill][np.unique(pair_key, return_index=True)[1]]
-        rounds = int(orph_chunk.max())
+        first = np.unique(pair_key, return_index=True)[1]
+        orph_canon = lane_s[spill][first]
+        orph_chunk = chunk[spill][first]
+        rounds = _pad_up(int(orph_chunk.max()), 4)
         merge_idx = np.zeros((rounds, lanes), dtype=np.int32)
         merge_idx[orph_chunk - 1, orph_canon] = canon + np.arange(n_orphans) + 1
     else:
@@ -283,13 +313,13 @@ def _msm_device_jit(group: str, K: int, w: int):
     )
 
 
-def msm_scheduled(group: str, points_affine_dev, schedule: Schedule,
-                  points_jac_dev=None, scalars=None):
-    """Run the scheduled MSM; fall back to the complete-formula variable-base
-    MSM if the madd kernel hit its doubling corner (negligible probability).
+def msm_scheduled(group: str, points_affine_dev, schedule: Schedule, fallback=None):
+    """Run the scheduled MSM; fall back via the given callable if the madd
+    kernel hit its doubling corner (negligible probability, adversarially
+    reachable — the fallback keeps completeness).
 
     points_affine_dev: (x, y) device arrays from g{1,2}_affine_to_device.
-    points_jac_dev + scalars: optional fallback inputs (host ints).
+    fallback: zero-arg callable returning the Jacobian result coords.
     """
     fn = _msm_device_jit(group, schedule.num_windows, schedule.window_bits)
     res, exc = fn(
@@ -298,16 +328,24 @@ def msm_scheduled(group: str, points_affine_dev, schedule: Schedule,
         jnp.asarray(schedule.merge_idx),
     )
     if bool(jax.device_get(exc)):  # pragma: no cover - adversarial corner
-        if points_jac_dev is None or scalars is None:
+        if fallback is None:
             raise RuntimeError(
                 "scheduled MSM hit the madd doubling corner and no fallback "
-                "inputs were provided"
+                "was provided"
             )
+        return fallback()
+    return res
+
+
+def _var_base_fallback(group: str, points_host, scalars):
+    def run():
         from . import msm as msm_mod
 
+        conv = co.g1_to_device if group == "g1" else co.g2_to_device
         digits = msm_mod.scalars_to_window_digits(scalars)
-        return msm_mod.msm_var_base(_ops(group), points_jac_dev, digits)
-    return res
+        return msm_mod.msm_var_base(_ops(group), conv(points_host), digits)
+
+    return run
 
 
 def msm_g1(points_affine_host, scalars, window_bits: int = 10):
@@ -316,13 +354,15 @@ def msm_g1(points_affine_host, scalars, window_bits: int = 10):
     inf_mask = np.array([p is None for p in points_affine_host])
     sched = build_schedule(scalars, window_bits, inf_mask)
     pxy = jax.device_put(g1_affine_to_device(points_affine_host))
-    pj = co.g1_to_device(points_affine_host)
-    return msm_scheduled("g1", pxy, sched, pj, scalars)
+    return msm_scheduled(
+        "g1", pxy, sched, _var_base_fallback("g1", points_affine_host, scalars)
+    )
 
 
-def msm_g2(points_affine_host, scalars, window_bits: int = 8):
+def msm_g2(points_affine_host, scalars, window_bits: int = 10):
     inf_mask = np.array([p is None for p in points_affine_host])
     sched = build_schedule(scalars, window_bits, inf_mask)
     pxy = jax.device_put(g2_affine_to_device(points_affine_host))
-    pj = co.g2_to_device(points_affine_host)
-    return msm_scheduled("g2", pxy, sched, pj, scalars)
+    return msm_scheduled(
+        "g2", pxy, sched, _var_base_fallback("g2", points_affine_host, scalars)
+    )

@@ -542,6 +542,9 @@ def _jac_madd(f, acc, q, sign, active):
     """
     x1, y1, z1 = acc
     x2, y2 = q
+    # (0, 0) encodes an infinite input point (CRS points CAN be infinity when
+    # a wire is absent from a query polynomial); treat as inactive.
+    active = active & ~(f.is_zero(x2) & f.is_zero(y2))
     y2 = f.select(sign, f.sub(f.zero_like(y2), y2), y2)
     z1z1 = f.sq(z1)
     u2 = f.mul(x2, z1z1)

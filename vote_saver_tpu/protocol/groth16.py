@@ -293,6 +293,71 @@ def _h_coeffs_device(pk: ProvingKey):
     return jax.jit(h_fn)
 
 
+def _devaff(pk: ProvingKey, name: str):
+    """Device AFFINE point arrays for the scheduled MSM (x, y); infinity is
+    encoded (0,0) and skipped inside the madd kernel."""
+    d = pk._dev.setdefault("devaff", {})
+    if name not in d:
+        from ..ops import msm_sched as ms
+
+        pts = getattr(pk, f"{name}_pts")
+        conv = ms.g2_affine_to_device if name == "b2" else ms.g1_affine_to_device
+        d[name] = jax.device_put(conv(pts))
+    return d[name]
+
+
+def _prove_msms_scheduled(pk: ProvingKey, wvals: np.ndarray, h_scalars: np.ndarray):
+    """Per-voter scheduled-bucket MSMs (ops/msm_sched.py).
+
+    One schedule per scalar vector; the witness schedule is shared by the
+    a/b1/b2 queries (schedules depend on scalars only).  Falls back to the
+    complete-formula var-base MSM per query on the madd doubling corner.
+    """
+    from ..ops import msm_sched as ms
+
+    B = wvals.shape[0]
+    outs = {k: [] for k in ("a", "b1", "b2", "l", "h")}
+    for i in range(B):
+        w_limbs = msm_mod.scalars_to_limbs(wvals[i])
+        sch_w = ms.build_schedule(scalar_limbs=w_limbs)
+        sch_aux = ms.build_schedule(scalar_limbs=w_limbs[pk.num_primary + 1 :])
+        sch_h = ms.build_schedule(scalar_limbs=h_scalars[i])
+
+        def fb(name, group, scal_limbs):
+            def run():
+                digits = msm_mod.limbs_to_window_digits(jnp.asarray(scal_limbs))
+                ops = co.g1_ops() if group == "g1" else co.g2_ops()
+                return msm_mod.msm_var_base(ops, pk.dev(name), digits)
+
+            return run
+
+        for name, group, sch, sl in (
+            ("a", "g1", sch_w, w_limbs),
+            ("b1", "g1", sch_w, w_limbs),
+            ("b2", "g2", sch_w, w_limbs),
+            ("l", "g1", sch_aux, w_limbs[pk.num_primary + 1 :]),
+            ("h", "g1", sch_h, h_scalars[i]),
+        ):
+            res = ms.msm_scheduled(
+                group, _devaff(pk, name), sch, fallback=fb(name, group, sl)
+            )
+            outs[name].append(tuple(c[None] for c in res))
+
+    def cat(name, conv):
+        coords = tuple(
+            jnp.concatenate([o[k] for o in outs[name]], axis=0) for k in range(3)
+        )
+        return conv(coords)
+
+    return (
+        cat("a", co.g1_from_device),
+        cat("b1", co.g1_from_device),
+        cat("b2", co.g2_from_device),
+        cat("l", co.g1_from_device),
+        cat("h", co.g1_from_device),
+    )
+
+
 def _prove_msm_fn(pk: ProvingKey):
     # cached on the key itself (avoids the id()-reuse hazard of a global map).
     # Windowed var-base MSM: measured ~3x faster than sort-based Pippenger on
@@ -337,17 +402,25 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
     h_scalars = _h_scalars(pk, wvals)
 
     if use_device():
-        w_scalars = np.stack([msm_mod.scalars_to_limbs(wvals[i]) for i in range(B)])
-        aux_scalars = np.stack(
-            [msm_mod.scalars_to_limbs(wvals[i, pk.num_primary + 1 :]) for i in range(B)]
-        )
-        msm_fn = _prove_msm_fn(pk)
-        a_j, b1_j, b2_j, l_j, h_j = msm_fn(w_scalars, aux_scalars, h_scalars)
-        a_pts = co.g1_from_device(a_j)
-        b1_pts = co.g1_from_device(b1_j)
-        b2_pts = co.g2_from_device(b2_j)
-        l_pts = co.g1_from_device(l_j)
-        h_pts = co.g1_from_device(h_j)
+        import os
+
+        if os.environ.get("VSTPU_MSM", "scheduled") == "varbase":
+            w_scalars = np.stack([msm_mod.scalars_to_limbs(wvals[i]) for i in range(B)])
+            aux_scalars = np.stack(
+                [msm_mod.scalars_to_limbs(wvals[i, pk.num_primary + 1 :]) for i in range(B)]
+            )
+            msm_fn = _prove_msm_fn(pk)
+            a_j, b1_j, b2_j, l_j, h_j = msm_fn(w_scalars, aux_scalars, h_scalars)
+        else:
+            a_j, b1_j, b2_j, l_j, h_j = _prove_msms_scheduled(pk, wvals, h_scalars)
+            a_pts, b1_pts, b2_pts, l_pts, h_pts = a_j, b1_j, b2_j, l_j, h_j
+            a_j = None
+        if a_j is not None:
+            a_pts = co.g1_from_device(a_j)
+            b1_pts = co.g1_from_device(b1_j)
+            b2_pts = co.g2_from_device(b2_j)
+            l_pts = co.g1_from_device(l_j)
+            h_pts = co.g1_from_device(h_j)
     else:
         # The native MSM releases the GIL, so the 5 MSMs x B voters run on a
         # thread pool (true parallelism through the C library).

@@ -23,6 +23,7 @@ not observable (submodules not vendored).
 
 from __future__ import annotations
 
+import hashlib
 import struct
 
 from ..params import Q, R, DIGEST_BITS
@@ -86,6 +87,25 @@ def de_bitarray(blob: bytes, nbits: int) -> list[int]:
 _FLAG_COMPRESSED = 0x80
 _FLAG_INFINITY = 0x40
 _FLAG_SIGN = 0x20
+
+
+# -- deserialization cache ----------------------------------------------------
+# Compressed-point vectors pay a modular sqrt per point on parse (~1ms each in
+# python); phase functions are blob-in/blob-out (reference parity,
+# common.hpp:824-1293) and re-receive the same CRS blob every call.  Key the
+# parsed object (and its lazily-built device arrays) on the blob digest.
+
+_DE_CACHE: dict = {}
+_DE_CACHE_MAX = 8
+
+
+def _cached(kind: str, blob: bytes, build):
+    key = (kind, hashlib.sha256(blob).digest())
+    if key not in _DE_CACHE:
+        if len(_DE_CACHE) >= _DE_CACHE_MAX:
+            _DE_CACHE.pop(next(iter(_DE_CACHE)))
+        _DE_CACHE[key] = build()
+    return _DE_CACHE[key]
 
 
 def ser_g1(p) -> bytes:
@@ -202,6 +222,10 @@ def ser_groth16_vk(vk) -> bytes:
 
 
 def de_groth16_vk(blob: bytes):
+    return _cached("de_groth16_vk", blob, lambda: _de_groth16_vk(blob))
+
+
+def _de_groth16_vk(blob: bytes):
     from .groth16 import VerificationKey
 
     off = 0
@@ -239,6 +263,13 @@ def ser_groth16_pk(pk) -> bytes:
 
 
 def de_groth16_pk(blob: bytes, coo=None, num_constraints=None):
+    pk = _cached("g16pk", blob, lambda: _de_groth16_pk(blob))
+    if coo is not None:
+        pk.coo = coo
+    return pk
+
+
+def _de_groth16_pk(blob: bytes, coo=None, num_constraints=None):
     from .groth16 import ProvingKey
 
     ni, nv, dom, nc = struct.unpack(">QQQQ", blob[:32])
@@ -268,6 +299,10 @@ def ser_saver_pk(spk) -> bytes:
 
 
 def de_saver_pk(blob: bytes):
+    return _cached("de_saver_pk", blob, lambda: _de_saver_pk(blob))
+
+
+def _de_saver_pk(blob: bytes):
     from .saver import SaverPublicKey
 
     s, off = _de_g1_vec(blob, 0)
@@ -283,6 +318,10 @@ def ser_saver_sk(ssk) -> bytes:
 
 
 def de_saver_sk(blob: bytes):
+    return _cached("de_saver_sk", blob, lambda: _de_saver_sk(blob))
+
+
+def _de_saver_sk(blob: bytes):
     from .saver import SaverSecretKey
 
     return SaverSecretKey(s=de_scalar_vector(blob))
@@ -293,6 +332,10 @@ def ser_saver_vk(svk) -> bytes:
 
 
 def de_saver_vk(blob: bytes):
+    return _cached("de_saver_vk", blob, lambda: _de_saver_vk(blob))
+
+
+def _de_saver_vk(blob: bytes):
     from .saver import SaverVerificationKey
 
     v, off = _de_g2_vec(blob, 0)
