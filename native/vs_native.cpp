@@ -697,3 +697,195 @@ int vs_pairing_check(const u64 *g1, const std::uint8_t *g1_inf, const u64 *g2,
   return is_one(final_exp(acc)) ? 1 : 0;
 }
 }
+
+// ===========================================================================
+// Batch point decompression + pointwise G2 scalar multiplication.
+//
+// Decompression mirrors protocol/marshal.py's compressed encoding
+// (48B BE x-coordinate, byte-0 flags 0x80 compressed / 0x40 infinity /
+// 0x20 sign where sign == "y is the lexicographically high root"), moving
+// the per-point modular square root off the python hot path (~1000x).
+// ===========================================================================
+
+namespace {
+
+constexpr Fq QP1D4 = {{0xee7fbfffffffeaabULL, 0x7aaffffac54ffffULL, 0xd9cc34a83dac3d89ULL,
+                       0xd91dd2e13ce144afULL, 0x92c6e9ed90d2eb35ULL, 0x680447a8e5ff9a6ULL}};
+constexpr Fq QM3D4 = {{0xee7fbfffffffeaaaULL, 0x7aaffffac54ffffULL, 0xd9cc34a83dac3d89ULL,
+                       0xd91dd2e13ce144afULL, 0x92c6e9ed90d2eb35ULL, 0x680447a8e5ff9a6ULL}};
+constexpr Fq QM1D2 = {{0xdcff7fffffffd555ULL, 0xf55ffff58a9ffffULL, 0xb39869507b587b12ULL,
+                       0xb23ba5c279c2895fULL, 0x258dd3db21a5d66bULL, 0xd0088f51cbff34dULL}};
+
+inline Fq fq_pow(const Fq &a_mont, const Fq &e) {
+  Fq result = R_MONT;
+  for (int i = NL - 1; i >= 0; i--)
+    for (int b = 63; b >= 0; b--) {
+      result = sqr(result);
+      if ((e.v[i] >> b) & 1) result = mul(result, a_mont);
+    }
+  return result;
+}
+
+inline Fq2 fq2_pow(const Fq2 &a, const Fq &e) {
+  Fq2 result = {R_MONT, {{0, 0, 0, 0, 0, 0}}};
+  for (int i = NL - 1; i >= 0; i--)
+    for (int b = 63; b >= 0; b--) {
+      result = sqr(result);
+      if ((e.v[i] >> b) & 1) result = mul(result, a);
+    }
+  return result;
+}
+
+inline bool fq_eq(const Fq &a, const Fq &b) {
+  for (int i = 0; i < NL; i++)
+    if (a.v[i] != b.v[i]) return false;
+  return true;
+}
+
+// sqrt in Montgomery form; q = 3 mod 4.  Returns false on non-residue.
+inline bool fq_sqrt(const Fq &a_mont, Fq &out) {
+  out = fq_pow(a_mont, QP1D4);
+  return fq_eq(sqr(out), a_mont);
+}
+
+// Adj–Rodriguez sqrt in Fq2 (mirrors refimpl/field.py fq2_sqrt).
+inline bool fq2_sqrt(const Fq2 &a, Fq2 &out) {
+  if (is_zero(a)) {
+    out = a;
+    return true;
+  }
+  Fq2 a1 = fq2_pow(a, QM3D4);
+  Fq2 alpha = mul(sqr(a1), a);
+  Fq2 x0 = mul(a1, a);
+  Fq2 neg_one = {neg(R_MONT), {{0, 0, 0, 0, 0, 0}}};
+  Fq2 res;
+  if (fq_eq(alpha.c0, neg_one.c0) && is_zero(alpha.c1)) {
+    res = {neg(x0.c1), x0.c0};  // u * x0
+  } else {
+    Fq2 one = {R_MONT, {{0, 0, 0, 0, 0, 0}}};
+    Fq2 b = fq2_pow(add(one, alpha), QM1D2);
+    res = mul(b, x0);
+  }
+  Fq2 chk = sqr(res);
+  if (!(fq_eq(chk.c0, a.c0) && fq_eq(chk.c1, a.c1))) return false;
+  out = res;
+  return true;
+}
+
+// standard-form comparison against (Q-1)/2 ("lexicographically high").
+inline bool fq_is_high_std(const Fq &a_std) {
+  for (int i = NL - 1; i >= 0; i--) {
+    if (a_std.v[i] > QM1D2.v[i]) return true;
+    if (a_std.v[i] < QM1D2.v[i]) return false;
+  }
+  return false;  // equal -> not high
+}
+
+inline bool fq2_is_high_std(const Fq &y0_std, const Fq &y1_std) {
+  if (!is_zero(y1_std)) return fq_is_high_std(y1_std);
+  return fq_is_high_std(y0_std);
+}
+
+// 48 big-endian bytes (flags already masked off) -> standard-form Fq limbs.
+inline Fq fq_from_be48(const std::uint8_t *b) {
+  Fq r;
+  for (int i = 0; i < NL; i++) {
+    u64 v = 0;
+    for (int k = 0; k < 8; k++) v = (v << 8) | b[(NL - 1 - i) * 8 + k];
+    r.v[i] = v;
+  }
+  return r;
+}
+
+}  // namespace
+
+extern "C" {
+
+// blobs: n * 48 bytes compressed G1.  out_coords: n * 2 * 6 u64 standard
+// affine; out_inf: n flags.  Returns 0 on success, 1+index on bad point.
+long long vs_g1_decompress_many(const std::uint8_t *blobs, std::size_t n, u64 *out_coords,
+                                std::uint8_t *out_inf) {
+  const Fq four_m = to_mont({{4, 0, 0, 0, 0, 0}});
+  for (std::size_t k = 0; k < n; k++) {
+    const std::uint8_t *b = blobs + k * 48;
+    if (!(b[0] & 0x80)) return (long long)k + 1;
+    if (b[0] & 0x40) {
+      out_inf[k] = 1;
+      std::memset(out_coords + k * 2 * NL, 0, 2 * NL * sizeof(u64));
+      continue;
+    }
+    out_inf[k] = 0;
+    std::uint8_t tmp[48];
+    std::memcpy(tmp, b, 48);
+    tmp[0] &= 0x1f;
+    Fq x_std = fq_from_be48(tmp);
+    Fq x = to_mont(x_std);
+    Fq rhs = add(mul(sqr(x), x), four_m);
+    Fq y;
+    if (!fq_sqrt(rhs, y)) return (long long)k + 1;
+    Fq y_std = from_mont(y);
+    bool high = fq_is_high_std(y_std);
+    if (high != !!(b[0] & 0x20)) y_std = from_mont(neg(y));
+    std::memcpy(out_coords + k * 2 * NL, x_std.v, NL * sizeof(u64));
+    std::memcpy(out_coords + k * 2 * NL + NL, y_std.v, NL * sizeof(u64));
+  }
+  return 0;
+}
+
+// blobs: n * 96 bytes compressed G2 (x1 BE48 with flags, then x0 BE48).
+// out_coords: n * 4 * 6 u64 standard affine (x0, x1, y0, y1).
+long long vs_g2_decompress_many(const std::uint8_t *blobs, std::size_t n, u64 *out_coords,
+                                std::uint8_t *out_inf) {
+  const Fq four_m = to_mont({{4, 0, 0, 0, 0, 0}});
+  const Fq2 b_coeff = {four_m, four_m};  // 4*(u+1)
+  for (std::size_t k = 0; k < n; k++) {
+    const std::uint8_t *b = blobs + k * 96;
+    if (!(b[0] & 0x80)) return (long long)k + 1;
+    if (b[0] & 0x40) {
+      out_inf[k] = 1;
+      std::memset(out_coords + k * 4 * NL, 0, 4 * NL * sizeof(u64));
+      continue;
+    }
+    out_inf[k] = 0;
+    std::uint8_t tmp[48];
+    std::memcpy(tmp, b, 48);
+    tmp[0] &= 0x1f;
+    Fq x1_std = fq_from_be48(tmp);
+    Fq x0_std = fq_from_be48(b + 48);
+    Fq2 x = {to_mont(x0_std), to_mont(x1_std)};
+    Fq2 rhs = add(mul(sqr(x), x), b_coeff);
+    Fq2 y;
+    if (!fq2_sqrt(rhs, y)) return (long long)k + 1;
+    Fq y0_std = from_mont(y.c0), y1_std = from_mont(y.c1);
+    bool high = fq2_is_high_std(y0_std, y1_std);
+    if (high != !!(b[0] & 0x20)) {
+      Fq2 yn = neg(y);
+      y0_std = from_mont(yn.c0);
+      y1_std = from_mont(yn.c1);
+    }
+    u64 *oc = out_coords + k * 4 * NL;
+    std::memcpy(oc, x0_std.v, NL * sizeof(u64));
+    std::memcpy(oc + NL, x1_std.v, NL * sizeof(u64));
+    std::memcpy(oc + 2 * NL, y0_std.v, NL * sizeof(u64));
+    std::memcpy(oc + 3 * NL, y1_std.v, NL * sizeof(u64));
+  }
+  return 0;
+}
+
+// Pointwise G2 scalar multiplication (mirror of vs_g1_mul_many).
+void vs_g2_mul_many(const u64 *coords, const std::uint8_t *inf, const std::uint8_t *scalars,
+                    std::size_t n, u64 *out_coords, std::uint8_t *out_inf) {
+  std::vector<Jac<Fq2>> pts;
+  load_affine<Fq2>(coords, inf, n, 2, pts);
+  for (std::size_t k = 0; k < n; k++) {
+    Jac<Fq2> acc;
+    acc.inf = true;
+    for (int bit = 255; bit >= 0; bit--) {
+      acc = dbl(acc);
+      if ((scalars[k * 32 + bit / 8] >> (bit % 8)) & 1) acc = padd(acc, pts[k]);
+    }
+    store_affine_g2(acc, out_coords + k * 4 * NL, out_inf + k);
+  }
+}
+
+}  // extern "C"

@@ -54,12 +54,17 @@ def get_lib():
         ("vs_g1_fixed_base", [u64p, u8p, ctypes.c_size_t, ctypes.c_int, u64p, u8p]),
         ("vs_g2_fixed_base", [u64p, u8p, ctypes.c_size_t, ctypes.c_int, u64p, u8p]),
         ("vs_g1_mul_many", [u64p, u8p, u8p, ctypes.c_size_t, u64p, u8p]),
+        ("vs_g2_mul_many", [u64p, u8p, u8p, ctypes.c_size_t, u64p, u8p]),
     ]:
         fn = getattr(lib, name)
         fn.argtypes = args
         fn.restype = None
     lib.vs_pairing_check.argtypes = [u64p, u8p, u64p, u8p, ctypes.c_size_t]
     lib.vs_pairing_check.restype = ctypes.c_int
+    for name in ("vs_g1_decompress_many", "vs_g2_decompress_many"):
+        fn = getattr(lib, name)
+        fn.argtypes = [u8p, ctypes.c_size_t, u64p, u8p]
+        fn.restype = ctypes.c_longlong
     assert lib.vs_abi_version() == 1
     return lib
 
@@ -212,3 +217,37 @@ def g1_mul_many(points, scalars) -> list:
     out_inf = np.zeros(n, dtype=np.uint8)
     lib.vs_g1_mul_many(_u64p(coords), _u8p(inf), _u8p(sc), n, _u64p(out), _u8p(out_inf))
     return [_unpack_g1(out, out_inf, i) for i in range(n)]
+
+
+def g2_mul_many(points, scalars) -> list:
+    lib = get_lib()
+    coords, inf = _pack_g2(points)
+    sc = _pack_scalars(scalars)
+    n = len(points)
+    out = np.zeros((n, 24), dtype=np.uint64)
+    out_inf = np.zeros(n, dtype=np.uint8)
+    lib.vs_g2_mul_many(_u64p(coords), _u8p(inf), _u8p(sc), n, _u64p(out), _u8p(out_inf))
+    return [_unpack_g2(out, out_inf, i) for i in range(n)]
+
+
+def g1_decompress_many(blob: bytes, n: int) -> list:
+    """n compressed 48B G1 points -> affine int points (None = infinity)."""
+    lib = get_lib()
+    data = np.frombuffer(blob, dtype=np.uint8, count=n * 48)
+    out = np.zeros((n, 12), dtype=np.uint64)
+    out_inf = np.zeros(n, dtype=np.uint8)
+    rc = lib.vs_g1_decompress_many(_u8p(data), n, _u64p(out), _u8p(out_inf))
+    if rc:
+        raise ValueError(f"bad compressed G1 point at index {rc - 1}")
+    return [_unpack_g1(out, out_inf, i) for i in range(n)]
+
+
+def g2_decompress_many(blob: bytes, n: int) -> list:
+    lib = get_lib()
+    data = np.frombuffer(blob, dtype=np.uint8, count=n * 96)
+    out = np.zeros((n, 24), dtype=np.uint64)
+    out_inf = np.zeros(n, dtype=np.uint8)
+    rc = lib.vs_g2_decompress_many(_u8p(data), n, _u64p(out), _u8p(out_inf))
+    if rc:
+        raise ValueError(f"bad compressed G2 point at index {rc - 1}")
+    return [_unpack_g2(out, out_inf, i) for i in range(n)]

@@ -397,7 +397,56 @@ def g2_to_device(points):
     )
 
 
+_AFF_CHUNK = 2048
+_aff_jit: dict = {}
+
+
+def _affine_chunked(p, fq2: bool):
+    """Device batched Jacobian->affine (Fermat inversion on device), chunked
+    to one static shape so repeat calls reuse the compiled program.  Returns
+    (ax, ay, is_inf) numpy limb arrays."""
+    ops = g2_ops() if fq2 else g1_ops()
+    key = "g2" if fq2 else "g1"
+    if key not in _aff_jit:
+        _aff_jit[key] = jax.jit(lambda pt: (*ops.to_affine(pt), ops.is_inf(pt)))
+    fn = _aff_jit[key]
+    want = 3 if fq2 else 2
+    coords = tuple(
+        (lambda a: a[None] if a.ndim < want else a)(np.asarray(c)) for c in p
+    )
+    n = coords[0].shape[0]
+    outs = []
+    for off in range(0, n, _AFF_CHUNK):
+        chunk = tuple(c[off : off + _AFF_CHUNK] for c in coords)
+        pad = _AFF_CHUNK - chunk[0].shape[0] if n > _AFF_CHUNK else 0
+        if pad:
+            chunk = tuple(np.pad(c, ((0, pad),) + ((0, 0),) * (c.ndim - 1)) for c in chunk)
+        ax, ay, inf = fn(chunk)
+        take = chunk[0].shape[0] - pad
+        outs.append((np.asarray(ax)[:take], np.asarray(ay)[:take], np.asarray(inf)[:take]))
+    return (
+        np.concatenate([o[0] for o in outs]),
+        np.concatenate([o[1] for o in outs]),
+        np.concatenate([o[2] for o in outs]),
+    )
+
+
 def _jacobian_from_device(p, spec, fq2: bool):
+    lead = np.asarray(p[0]).shape
+    big = (lead[0] if len(lead) > (2 if fq2 else 1) else 1) >= 64
+    if big:
+        ax, ay, inf = _affine_chunked(p, fq2)
+        xs = lb.mont_limbs_to_ints(ax, spec)
+        ys = lb.mont_limbs_to_ints(ay, spec)
+        out = []
+        for i in range(ax.shape[0]):
+            if bool(inf[i]):
+                out.append(None)
+            elif fq2:
+                out.append((tuple(int(v) for v in xs[i]), tuple(int(v) for v in ys[i])))
+            else:
+                out.append((int(xs[i]), int(ys[i])))
+        return out
     xs = lb.mont_limbs_to_ints(np.asarray(p[0]), spec)
     ys = lb.mont_limbs_to_ints(np.asarray(p[1]), spec)
     zs = lb.mont_limbs_to_ints(np.asarray(p[2]), spec)

@@ -22,11 +22,20 @@ from ..params import DIGEST_BITS, PUBLIC_KEY_BITS
 from . import pedersen_ops as po
 
 
+_hash_jit_cache: dict = {}
+
+
 def _hash_rows(rows: np.ndarray, nbits: int) -> np.ndarray:
     """Batch Pedersen: device kernel on TPU, host oracle otherwise (the CPU
     XLA path pays tens of seconds of compile for nothing at small scale)."""
     if use_device():
-        return np.asarray(jax.jit(lambda b: po.pedersen_hash_bits(b, nbits))(rows))
+        # one cached jit per input width: a fresh jax.jit object per call
+        # would recompile remotely every time (~minutes through the tunnel)
+        if nbits not in _hash_jit_cache:
+            _hash_jit_cache[nbits] = jax.jit(
+                lambda b: po.pedersen_hash_bits(b, nbits)
+            )
+        return np.asarray(_hash_jit_cache[nbits](rows))
     from ..refimpl import pedersen as rpd
 
     return np.array([rpd.pedersen_hash(list(map(int, r))) for r in rows], np.uint32)

@@ -112,13 +112,23 @@ class Schedule:
     codes: np.ndarray  # (steps, lanes) int32: 0 = idle; else (pidx+1) | sign<<30
     merge_idx: np.ndarray  # (rounds, lanes) int32: 0 = none; else orphan lane+1
     window_bits: int
-    num_windows: int
+    num_windows: int  # windows per part
     lanes: int  # canonical + orphan lanes, padded to a multiple of 128
     total_entries: int
+    num_parts: int = 1  # batched multi-MSM: independent scalar vectors
+    # sharing one point set (e.g. voters over a common CRS)
 
 
 def _pad_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# Shape memo: (n, w) -> [steps, lanes, rounds].  Schedule shapes are data-
+# dependent (orphan counts, max loads); pad every schedule up to the largest
+# shape seen for its size so repeat MSMs hit one compiled device program
+# (remote TPU compiles cost ~60s; shapes grow monotonically and stabilise
+# after the first call or two).
+_SHAPE_MEMO: dict = {}
 
 
 def build_schedule(
@@ -134,7 +144,22 @@ def build_schedule(
     """
     w = window_bits
     digs = signed_digits(scalars, w, scalar_limbs=scalar_limbs)  # (n, K)
-    n, K = digs.shape
+    return _schedule_from_digits(digs, w, inf_mask, num_parts=1)
+
+
+def build_schedule_multi(scalar_limbs_list, window_bits: int = 10, inf_mask=None) -> Schedule:
+    """One schedule for B independent scalar vectors over a SHARED point set
+    (the prover's voters x CRS case): windows of part i live at window offset
+    i*K, so bucket accumulation and combination run as one device program."""
+    w = window_bits
+    digs = np.concatenate(
+        [signed_digits(None, w, scalar_limbs=sl) for sl in scalar_limbs_list], axis=1
+    )
+    return _schedule_from_digits(digs, w, inf_mask, num_parts=len(scalar_limbs_list))
+
+
+def _schedule_from_digits(digs, w, inf_mask, num_parts):
+    n, K = digs.shape  # K = windows_per_part * num_parts here
     bw = 1 << (w - 1)
     canon = K * bw
 
@@ -169,25 +194,33 @@ def build_schedule(
     uniq, pair_inv = np.unique(pair_key, return_inverse=True)
     n_orphans = uniq.shape[0]
     lanes = _pad_up(canon + max(n_orphans, 1), 1024)
-
-    entry_lane = lane_s.copy()
-    entry_lane[spill] = canon + pair_inv
-
     nsteps = _pad_up(max(int(step.max()) + 1 if total else 1, 1), 8)
-    codes = np.zeros((nsteps, lanes), dtype=np.int32)
-    codes[step, entry_lane] = (p_s + 1) | (sign_s << 30)
-
-    # merge schedule: orphan r of canonical lane c -> merge_idx[r, c]
     if n_orphans:
         first = np.unique(pair_key, return_index=True)[1]
         orph_canon = lane_s[spill][first]
         orph_chunk = chunk[spill][first]
         rounds = _pad_up(int(orph_chunk.max()), 4)
-        merge_idx = np.zeros((rounds, lanes), dtype=np.int32)
-        merge_idx[orph_chunk - 1, orph_canon] = canon + np.arange(n_orphans) + 1
     else:
-        merge_idx = np.zeros((0, lanes), dtype=np.int32)
-    return Schedule(codes, merge_idx, w, K, lanes, total)
+        rounds = 0
+
+    # pad up to the largest shape seen for this (n, w) -> stable jit shapes
+    memo = _SHAPE_MEMO.setdefault((n, w, num_parts), [nsteps, lanes, rounds])
+    memo[0] = nsteps = max(memo[0], nsteps)
+    memo[1] = lanes = max(memo[1], lanes)
+    memo[2] = rounds = max(memo[2], rounds)
+
+    entry_lane = lane_s.copy()
+    entry_lane[spill] = canon + pair_inv
+
+    codes = np.zeros((nsteps, lanes), dtype=np.int32)
+    codes[step, entry_lane] = (p_s + 1) | (sign_s << 30)
+
+    # merge schedule: orphan r of canonical lane c -> merge_idx[r, c]
+    merge_idx = np.zeros((rounds, lanes), dtype=np.int32)
+    if n_orphans:
+        merge_idx[orph_chunk - 1, orph_canon] = canon + np.arange(n_orphans) + 1
+    assert K % num_parts == 0
+    return Schedule(codes, merge_idx, w, K // num_parts, lanes, total, num_parts)
 
 
 def g1_affine_to_device(points):
@@ -251,22 +284,26 @@ def _suffix_and_total(ops, acc, K: int, bw: int):
     return ops.sum_reduce(coords, axis=1)
 
 
-def _horner(ops, window_sums, w: int):
-    """result = sum_j 2^(w*j) * S_j via MSB-first Horner scan."""
-    rev = tuple(c[::-1] for c in window_sums)
+def _horner(ops, window_sums, w: int, parts: int):
+    """result[p] = sum_j 2^(w*j) * S_{p,j} via MSB-first Horner scan, batched
+    over parts.  window_sums coords have leading dim parts*K."""
+    coords = tuple(
+        c.reshape((parts, c.shape[0] // parts) + c.shape[1:]) for c in window_sums
+    )
+    rev = tuple(jnp.moveaxis(c[:, ::-1], 1, 0) for c in coords)  # (K, parts, ...)
 
     def body(acc, s):
         for _ in range(w):
             acc = ops.double(acc)
         return ops.add(acc, s), None
 
-    acc = ops.infinity_like(window_sums[0][0])
+    acc = ops.infinity_like(coords[0][:, 0])
     acc, _ = jax.lax.scan(body, acc, rev)
-    return acc
+    return acc  # coords with leading dim (parts,)
 
 
-def _msm_device(group: str, points_xy, codes, merge_idx, K: int, w: int):
-    """jit-able core: returns (jacobian coords of the result, any_exceptional)."""
+def _msm_device(group: str, points_xy, codes, merge_idx, K: int, w: int, parts: int = 1):
+    """jit-able core: returns (jacobian coords (parts, ...), any_exceptional)."""
     ops = _ops(group)
     madd = _madd(group)
     g2 = group == "g2"
@@ -301,15 +338,17 @@ def _msm_device(group: str, points_xy, codes, merge_idx, K: int, w: int):
     if merge_idx.shape[0]:
         acc, _ = jax.lax.scan(merge_round, acc, merge_idx)
 
-    sums = _suffix_and_total(ops, acc, K, bw)
-    res = _horner(ops, sums, w)
+    sums = _suffix_and_total(ops, acc, K * parts, bw)
+    res = _horner(ops, sums, w, parts)
     return res, jnp.any(exc != 0)
 
 
 @functools.cache
-def _msm_device_jit(group: str, K: int, w: int):
+def _msm_device_jit(group: str, K: int, w: int, parts: int = 1):
     return jax.jit(
-        lambda pxy, codes, merge_idx: _msm_device(group, pxy, codes, merge_idx, K, w)
+        lambda pxy, codes, merge_idx: _msm_device(
+            group, pxy, codes, merge_idx, K, w, parts
+        )
     )
 
 
@@ -319,9 +358,12 @@ def msm_scheduled(group: str, points_affine_dev, schedule: Schedule, fallback=No
     reachable — the fallback keeps completeness).
 
     points_affine_dev: (x, y) device arrays from g{1,2}_affine_to_device.
-    fallback: zero-arg callable returning the Jacobian result coords.
+    fallback: zero-arg callable returning Jacobian coords with leading dim
+    (num_parts,).  Returns Jacobian coords with leading dim (num_parts,).
     """
-    fn = _msm_device_jit(group, schedule.num_windows, schedule.window_bits)
+    fn = _msm_device_jit(
+        group, schedule.num_windows, schedule.window_bits, schedule.num_parts
+    )
     res, exc = fn(
         points_affine_dev,
         jnp.asarray(schedule.codes),
@@ -343,26 +385,29 @@ def _var_base_fallback(group: str, points_host, scalars):
 
         conv = co.g1_to_device if group == "g1" else co.g2_to_device
         digits = msm_mod.scalars_to_window_digits(scalars)
-        return msm_mod.msm_var_base(_ops(group), conv(points_host), digits)
+        res = msm_mod.msm_var_base(_ops(group), conv(points_host), digits)
+        return tuple(c[None] for c in res)
 
     return run
 
 
 def msm_g1(points_affine_host, scalars, window_bits: int = 10):
     """Host-level convenience: affine int points + int scalars -> Jacobian
-    device point."""
+    device point (single, no leading dim)."""
     inf_mask = np.array([p is None for p in points_affine_host])
     sched = build_schedule(scalars, window_bits, inf_mask)
     pxy = jax.device_put(g1_affine_to_device(points_affine_host))
-    return msm_scheduled(
+    res = msm_scheduled(
         "g1", pxy, sched, _var_base_fallback("g1", points_affine_host, scalars)
     )
+    return tuple(c[0] for c in res)
 
 
 def msm_g2(points_affine_host, scalars, window_bits: int = 10):
     inf_mask = np.array([p is None for p in points_affine_host])
     sched = build_schedule(scalars, window_bits, inf_mask)
     pxy = jax.device_put(g2_affine_to_device(points_affine_host))
-    return msm_scheduled(
+    res = msm_scheduled(
         "g2", pxy, sched, _var_base_fallback("g2", points_affine_host, scalars)
     )
+    return tuple(c[0] for c in res)

@@ -279,6 +279,10 @@ def _abc_evaluations(pk: ProvingKey, wvals: np.ndarray) -> tuple[np.ndarray, ...
 
 
 def _h_coeffs_device(pk: ProvingKey):
+    # cached: a fresh jax.jit object would retrace AND recompile every call
+    # (remote TPU compiles cost ~25s)
+    if "h_fn" in pk._dev:
+        return pk._dev["h_fn"]
     ntt = get_ntt(pk.domain)
     f = fr_ops()
 
@@ -290,7 +294,8 @@ def _h_coeffs_device(pk: ProvingKey):
         h = ntt.coset_intt(h_ev)
         return f.from_mont(h)  # standard-form limbs = MSM scalar format
 
-    return jax.jit(h_fn)
+    pk._dev["h_fn"] = jax.jit(h_fn)
+    return pk._dev["h_fn"]
 
 
 def _devaff(pk: ProvingKey, name: str):
@@ -306,6 +311,15 @@ def _devaff(pk: ProvingKey, name: str):
     return d[name]
 
 
+def _trace(label: str, t0: float):
+    import os
+    import time
+
+    if os.environ.get("VSTPU_TRACE"):
+        print(f"[trace] {label}: {time.time()-t0:.2f}s", flush=True)
+    return time.time()
+
+
 def _prove_msms_scheduled(pk: ProvingKey, wvals: np.ndarray, h_scalars: np.ndarray):
     """Per-voter scheduled-bucket MSMs (ops/msm_sched.py).
 
@@ -313,48 +327,53 @@ def _prove_msms_scheduled(pk: ProvingKey, wvals: np.ndarray, h_scalars: np.ndarr
     a/b1/b2 queries (schedules depend on scalars only).  Falls back to the
     complete-formula var-base MSM per query on the madd doubling corner.
     """
+    import time
+
     from ..ops import msm_sched as ms
 
     B = wvals.shape[0]
-    outs = {k: [] for k in ("a", "b1", "b2", "l", "h")}
-    for i in range(B):
-        w_limbs = msm_mod.scalars_to_limbs(wvals[i])
-        sch_w = ms.build_schedule(scalar_limbs=w_limbs)
-        sch_aux = ms.build_schedule(scalar_limbs=w_limbs[pk.num_primary + 1 :])
-        sch_h = ms.build_schedule(scalar_limbs=h_scalars[i])
+    t0 = time.time()
+    w_limbs = [msm_mod.scalars_to_limbs(wvals[i]) for i in range(B)]
+    aux_limbs = [wl[pk.num_primary + 1 :] for wl in w_limbs]
+    h_limbs = [h_scalars[i] for i in range(B)]
+    t0 = _trace("scalars_to_limbs", t0)
+    # one multi-part schedule per scalar family; the witness schedule is
+    # shared by the a/b1/b2 queries (same scalars, different point sets)
+    sch_w = ms.build_schedule_multi(w_limbs)
+    sch_aux = ms.build_schedule_multi(aux_limbs)
+    sch_h = ms.build_schedule_multi(h_limbs)
+    t0 = _trace("schedules", t0)
 
-        def fb(name, group, scal_limbs):
-            def run():
-                digits = msm_mod.limbs_to_window_digits(jnp.asarray(scal_limbs))
-                ops = co.g1_ops() if group == "g1" else co.g2_ops()
-                return msm_mod.msm_var_base(ops, pk.dev(name), digits)
-
-            return run
-
-        for name, group, sch, sl in (
-            ("a", "g1", sch_w, w_limbs),
-            ("b1", "g1", sch_w, w_limbs),
-            ("b2", "g2", sch_w, w_limbs),
-            ("l", "g1", sch_aux, w_limbs[pk.num_primary + 1 :]),
-            ("h", "g1", sch_h, h_scalars[i]),
-        ):
-            res = ms.msm_scheduled(
-                group, _devaff(pk, name), sch, fallback=fb(name, group, sl)
+    def fb(name, group, limbs_list):
+        def run():
+            stacked = jnp.stack([jnp.asarray(sl) for sl in limbs_list])
+            digits = msm_mod.limbs_to_window_digits(stacked)
+            ops = co.g1_ops() if group == "g1" else co.g2_ops()
+            return jax.vmap(lambda d: msm_mod.msm_var_base(ops, pk.dev(name), d))(
+                digits
             )
-            outs[name].append(tuple(c[None] for c in res))
 
-    def cat(name, conv):
-        coords = tuple(
-            jnp.concatenate([o[k] for o in outs[name]], axis=0) for k in range(3)
+        return run
+
+    outs = {}
+    for name, group, sch, ll in (
+        ("a", "g1", sch_w, w_limbs),
+        ("b1", "g1", sch_w, w_limbs),
+        ("b2", "g2", sch_w, w_limbs),
+        ("l", "g1", sch_aux, aux_limbs),
+        ("h", "g1", sch_h, h_limbs),
+    ):
+        outs[name] = ms.msm_scheduled(
+            group, _devaff(pk, name), sch, fallback=fb(name, group, ll)
         )
-        return conv(coords)
+        t0 = _trace(f"msm {name} (batch {B})", t0)
 
     return (
-        cat("a", co.g1_from_device),
-        cat("b1", co.g1_from_device),
-        cat("b2", co.g2_from_device),
-        cat("l", co.g1_from_device),
-        cat("h", co.g1_from_device),
+        co.g1_from_device(outs["a"]),
+        co.g1_from_device(outs["b1"]),
+        co.g2_from_device(outs["b2"]),
+        co.g1_from_device(outs["l"]),
+        co.g1_from_device(outs["h"]),
     )
 
 
@@ -397,9 +416,13 @@ def _h_scalars(pk: ProvingKey, wvals: np.ndarray) -> np.ndarray:
 
 def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
     """wvals: (B, num_vars) object ints (full assignments, col 0 == 1)."""
+    import time
+
     B = wvals.shape[0]
     spec = fr_spec()
+    t0 = time.time()
     h_scalars = _h_scalars(pk, wvals)
+    t0 = _trace("h_scalars (abc + coset NTTs)", t0)
 
     if use_device():
         import os
@@ -443,6 +466,7 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
         l_pts = results[3::5]
         h_pts = results[4::5]
 
+    t0 = _trace("msms total", t0)
     proofs = []
     for i in range(B):
         r, s = rng(), rng()
@@ -454,6 +478,7 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
         c = rc.g1_add(c, rc.g1_mul(b1, r))
         c = rc.g1_add(c, rc.g1_neg(rc.g1_mul(pk.delta_g1, r * s % R)))
         proofs.append(Proof(a=a, b=b2, c=c))
+    _trace("proof assembly", t0)
     return proofs
 
 

@@ -195,8 +195,14 @@ def _ser_g1_vec(pts) -> bytes:
 def _de_g1_vec(blob: bytes, off: int):
     (n,) = struct.unpack(">Q", blob[off : off + SIZE_T])
     off += SIZE_T
+    end = off + n * G1_SIZE
+    if n >= 16:
+        from .. import native_bridge as nb
+
+        if nb.available():
+            return nb.g1_decompress_many(blob[off:end], n), end
     pts = [de_g1(blob[off + i * G1_SIZE : off + (i + 1) * G1_SIZE]) for i in range(n)]
-    return pts, off + n * G1_SIZE
+    return pts, end
 
 
 def _ser_g2_vec(pts) -> bytes:
@@ -205,6 +211,13 @@ def _ser_g2_vec(pts) -> bytes:
 
 def _de_g2_vec(blob: bytes, off: int):
     (n,) = struct.unpack(">Q", blob[off : off + SIZE_T])
+    if n >= 16:
+        from .. import native_bridge as nb
+
+        if nb.available():
+            off += SIZE_T
+            end = off + n * G2_SIZE
+            return nb.g2_decompress_many(blob[off:end], n), end
     off += SIZE_T
     pts = [de_g2(blob[off + i * G2_SIZE : off + (i + 1) * G2_SIZE]) for i in range(n)]
     return pts, off + n * G2_SIZE
