@@ -352,6 +352,20 @@ def _msm_device_jit(group: str, K: int, w: int, parts: int = 1):
     )
 
 
+def msm_scheduled_async(group: str, points_affine_dev, schedule: Schedule):
+    """Launch the scheduled MSM; returns (result coords, exc device scalar)
+    WITHOUT the host exception sync — callers batch several MSMs and check
+    all exc flags with one device_get (each sync is a tunnel round trip)."""
+    fn = _msm_device_jit(
+        group, schedule.num_windows, schedule.window_bits, schedule.num_parts
+    )
+    return fn(
+        points_affine_dev,
+        jnp.asarray(schedule.codes),
+        jnp.asarray(schedule.merge_idx),
+    )
+
+
 def msm_scheduled(group: str, points_affine_dev, schedule: Schedule, fallback=None):
     """Run the scheduled MSM; fall back via the given callable if the madd
     kernel hit its doubling corner (negligible probability, adversarially
@@ -361,14 +375,7 @@ def msm_scheduled(group: str, points_affine_dev, schedule: Schedule, fallback=No
     fallback: zero-arg callable returning Jacobian coords with leading dim
     (num_parts,).  Returns Jacobian coords with leading dim (num_parts,).
     """
-    fn = _msm_device_jit(
-        group, schedule.num_windows, schedule.window_bits, schedule.num_parts
-    )
-    res, exc = fn(
-        points_affine_dev,
-        jnp.asarray(schedule.codes),
-        jnp.asarray(schedule.merge_idx),
-    )
+    res, exc = msm_scheduled_async(group, points_affine_dev, schedule)
     if bool(jax.device_get(exc)):  # pragma: no cover - adversarial corner
         if fallback is None:
             raise RuntimeError(

@@ -355,18 +355,25 @@ def _prove_msms_scheduled(pk: ProvingKey, wvals: np.ndarray, h_scalars: np.ndarr
 
         return run
 
-    outs = {}
-    for name, group, sch, ll in (
+    queries = (
         ("a", "g1", sch_w, w_limbs),
         ("b1", "g1", sch_w, w_limbs),
         ("b2", "g2", sch_w, w_limbs),
         ("l", "g1", sch_aux, aux_limbs),
         ("h", "g1", sch_h, h_limbs),
-    ):
-        outs[name] = ms.msm_scheduled(
-            group, _devaff(pk, name), sch, fallback=fb(name, group, ll)
+    )
+    outs, excs = {}, {}
+    for name, group, sch, ll in queries:
+        outs[name], excs[name] = ms.msm_scheduled_async(
+            group, _devaff(pk, name), sch
         )
-        t0 = _trace(f"msm {name} (batch {B})", t0)
+        t0 = _trace(f"msm {name} launch (batch {B})", t0)
+    # one host sync for all five exception flags (tunnel round trips are slow)
+    flags = jax.device_get(jnp.stack([excs[n] for n, *_ in queries]))
+    for (name, group, sch, ll), hit in zip(queries, flags):
+        if bool(hit):  # pragma: no cover - adversarial corner
+            outs[name] = fb(name, group, ll)()
+    t0 = _trace("msm exc sync", t0)
 
     return (
         co.g1_from_device(outs["a"]),
@@ -467,17 +474,28 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
         h_pts = results[4::5]
 
     t0 = _trace("msms total", t0)
+    # blinding: two rounds of batched pointwise muls (native-accelerated)
+    rs = [(rng(), rng()) for _ in range(B)]
+    d1 = rj.g1_mul_many(
+        [pk.delta_g1] * (3 * B),
+        [r for r, _ in rs] + [s for _, s in rs] + [r * s % R for r, s in rs],
+    )
+    d2 = rj.g2_mul_many([pk.delta_g2] * B, [s for _, s in rs])
+    a_list, b1_list = [], []
+    for i in range(B):
+        a_list.append(rc.g1_add(rc.g1_add(pk.alpha_g1, a_pts[i]), d1[i]))
+        b1_list.append(rc.g1_add(rc.g1_add(pk.beta_g1, b1_pts[i]), d1[B + i]))
+    round2 = rj.g1_mul_many(
+        a_list + b1_list, [s for _, s in rs] + [r for r, _ in rs]
+    )
     proofs = []
     for i in range(B):
-        r, s = rng(), rng()
-        a = rc.g1_add(rc.g1_add(pk.alpha_g1, a_pts[i]), rc.g1_mul(pk.delta_g1, r))
-        b2 = rc.g2_add(rc.g2_add(pk.beta_g2, b2_pts[i]), rc.g2_mul(pk.delta_g2, s))
-        b1 = rc.g1_add(rc.g1_add(pk.beta_g1, b1_pts[i]), rc.g1_mul(pk.delta_g1, s))
+        b2 = rc.g2_add(rc.g2_add(pk.beta_g2, b2_pts[i]), d2[i])
         c = rc.g1_add(l_pts[i], h_pts[i])
-        c = rc.g1_add(c, rc.g1_mul(a, s))
-        c = rc.g1_add(c, rc.g1_mul(b1, r))
-        c = rc.g1_add(c, rc.g1_neg(rc.g1_mul(pk.delta_g1, r * s % R)))
-        proofs.append(Proof(a=a, b=b2, c=c))
+        c = rc.g1_add(c, round2[i])
+        c = rc.g1_add(c, round2[B + i])
+        c = rc.g1_add(c, rc.g1_neg(d1[2 * B + i]))
+        proofs.append(Proof(a=a_list[i], b=b2, c=c))
     _trace("proof assembly", t0)
     return proofs
 

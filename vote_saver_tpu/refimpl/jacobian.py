@@ -185,3 +185,14 @@ def g1_mul_many(points_affine, scalars) -> list:
         return nb.g1_mul_many(points_affine, scalars)
     return [rc.g1_mul(p, k) if p is not None else None
             for p, k in zip(points_affine, scalars)]
+
+
+def g2_mul_many(points_affine, scalars) -> list:
+    """Pointwise k_i * Q_i over G2 (native-accelerated when built)."""
+    from .. import native_bridge as nb
+    from . import curves as rc
+
+    if nb.available():
+        return nb.g2_mul_many(points_affine, scalars)
+    return [rc.g2_mul(p, k) if p is not None else None
+            for p, k in zip(points_affine, scalars)]
