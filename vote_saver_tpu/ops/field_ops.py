@@ -145,6 +145,22 @@ class FieldOps:
         out = self._carry_limbs(cols, L + 1)
         return self._cond_sub_n(out)
 
+    def reduce_lazy(self, cols):
+        """Montgomery-reduce (..., K<=2L) lazy columns -> canonical (..., L).
+
+        Input is a lazily-accumulated limb vector: value = sum cols_k 2^(lb*k),
+        columns may exceed 2^lb.  Requirements for exactness: value < R_mont*N
+        (R_mont = 2^(lb*L)) and every column < 2^(2*lb) - 2^lb (headroom for
+        the fold-in addends).  Computes value * R_mont^-1 mod N — callers
+        compensate with an extra Montgomery factor on one operand (e.g. the
+        COO A/B/C evaluation keeps coefficients in double-Montgomery form).
+        """
+        K = cols.shape[-1]
+        if K < 2 * self.L:
+            pad = jnp.zeros(cols.shape[:-1] + (2 * self.L - K,), cols.dtype)
+            cols = jnp.concatenate([cols, pad], axis=-1)
+        return self._reduce(cols.astype(self.dtype))
+
     def add(self, a, b):
         s = jnp.asarray(a, self.dtype) + jnp.asarray(b, self.dtype)
         s = jnp.concatenate([s, jnp.zeros_like(s[..., :1])], axis=-1)

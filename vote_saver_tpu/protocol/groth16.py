@@ -320,9 +320,10 @@ def _trace(label: str, t0: float):
     return time.time()
 
 
-def _prove_msms_scheduled(pk: ProvingKey, wvals: np.ndarray, h_scalars: np.ndarray):
+def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list):
     """Per-voter scheduled-bucket MSMs (ops/msm_sched.py).
 
+    w_limbs/h_limbs: per-voter (m, L) / (domain-1, L) plain LE limb arrays.
     One schedule per scalar vector; the witness schedule is shared by the
     a/b1/b2 queries (schedules depend on scalars only).  Falls back to the
     complete-formula var-base MSM per query on the madd doubling corner.
@@ -331,12 +332,9 @@ def _prove_msms_scheduled(pk: ProvingKey, wvals: np.ndarray, h_scalars: np.ndarr
 
     from ..ops import msm_sched as ms
 
-    B = wvals.shape[0]
+    B = len(w_limbs)
     t0 = time.time()
-    w_limbs = [msm_mod.scalars_to_limbs(wvals[i]) for i in range(B)]
     aux_limbs = [wl[pk.num_primary + 1 :] for wl in w_limbs]
-    h_limbs = [h_scalars[i] for i in range(B)]
-    t0 = _trace("scalars_to_limbs", t0)
     # one multi-part schedule per scalar family; the witness schedule is
     # shared by the a/b1/b2 queries (same scalars, different point sets)
     sch_w = ms.build_schedule_multi(w_limbs)
@@ -421,6 +419,45 @@ def _h_scalars(pk: ProvingKey, wvals: np.ndarray) -> np.ndarray:
     return h_std[:, : pk.domain - 1, :]
 
 
+def _msms_host_native(pk: ProvingKey, w_ints: list, h_ints: list):
+    """CPU path: the native MSM releases the GIL, so the 5 MSMs x B voters
+    run on a thread pool (true parallelism through the C library)."""
+    import concurrent.futures as cf
+
+    B = len(w_ints)
+    jobs = []
+    for i in range(B):
+        wl = [int(x) for x in w_ints[i]]
+        jobs.append((pk.a_pts, wl, "g1"))
+        jobs.append((pk.b1_pts, wl, "g1"))
+        jobs.append((pk.b2_pts, wl, "g2"))
+        jobs.append((pk.l_pts, wl[pk.num_primary + 1 :], "g1"))
+        jobs.append((pk.h_pts, [int(x) for x in h_ints[i]], "g1"))
+    with cf.ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
+        results = list(pool.map(lambda j: rj.msm_host(j[0], j[1], group=j[2]), jobs))
+    return (results[0::5], results[1::5], results[2::5], results[3::5], results[4::5])
+
+
+def _msms_device(pk: ProvingKey, w_limbs: list, h_limbs: list):
+    import os
+
+    if os.environ.get("VSTPU_MSM", "scheduled") == "varbase":
+        B = len(w_limbs)
+        w_scalars = np.stack(w_limbs)
+        aux_scalars = np.stack([wl[pk.num_primary + 1 :] for wl in w_limbs])
+        h_scalars = np.stack(h_limbs)
+        msm_fn = _prove_msm_fn(pk)
+        a_j, b1_j, b2_j, l_j, h_j = msm_fn(w_scalars, aux_scalars, h_scalars)
+        return (
+            co.g1_from_device(a_j),
+            co.g1_from_device(b1_j),
+            co.g2_from_device(b2_j),
+            co.g1_from_device(l_j),
+            co.g1_from_device(h_j),
+        )
+    return _prove_msms_scheduled(pk, w_limbs, h_limbs)
+
+
 def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
     """wvals: (B, num_vars) object ints (full assignments, col 0 == 1)."""
     import time
@@ -432,48 +469,21 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
     t0 = _trace("h_scalars (abc + coset NTTs)", t0)
 
     if use_device():
-        import os
-
-        if os.environ.get("VSTPU_MSM", "scheduled") == "varbase":
-            w_scalars = np.stack([msm_mod.scalars_to_limbs(wvals[i]) for i in range(B)])
-            aux_scalars = np.stack(
-                [msm_mod.scalars_to_limbs(wvals[i, pk.num_primary + 1 :]) for i in range(B)]
-            )
-            msm_fn = _prove_msm_fn(pk)
-            a_j, b1_j, b2_j, l_j, h_j = msm_fn(w_scalars, aux_scalars, h_scalars)
-        else:
-            a_j, b1_j, b2_j, l_j, h_j = _prove_msms_scheduled(pk, wvals, h_scalars)
-            a_pts, b1_pts, b2_pts, l_pts, h_pts = a_j, b1_j, b2_j, l_j, h_j
-            a_j = None
-        if a_j is not None:
-            a_pts = co.g1_from_device(a_j)
-            b1_pts = co.g1_from_device(b1_j)
-            b2_pts = co.g2_from_device(b2_j)
-            l_pts = co.g1_from_device(l_j)
-            h_pts = co.g1_from_device(h_j)
+        w_limbs = [msm_mod.scalars_to_limbs(wvals[i]) for i in range(B)]
+        h_limbs = [h_scalars[i] for i in range(B)]
+        a_pts, b1_pts, b2_pts, l_pts, h_pts = _msms_device(pk, w_limbs, h_limbs)
     else:
-        # The native MSM releases the GIL, so the 5 MSMs x B voters run on a
-        # thread pool (true parallelism through the C library).
-        import concurrent.futures as cf
-
         h_ints = lb.limbs_to_ints(h_scalars, spec)
-        jobs = []
-        for i in range(B):
-            wl = [int(x) for x in wvals[i]]
-            jobs.append((pk.a_pts, wl, "g1"))
-            jobs.append((pk.b1_pts, wl, "g1"))
-            jobs.append((pk.b2_pts, wl, "g2"))
-            jobs.append((pk.l_pts, wl[pk.num_primary + 1 :], "g1"))
-            jobs.append((pk.h_pts, [int(x) for x in h_ints[i]], "g1"))
-        with cf.ThreadPoolExecutor(max_workers=min(16, len(jobs))) as pool:
-            results = list(pool.map(lambda j: rj.msm_host(j[0], j[1], group=j[2]), jobs))
-        a_pts = results[0::5]
-        b1_pts = results[1::5]
-        b2_pts = results[2::5]
-        l_pts = results[3::5]
-        h_pts = results[4::5]
+        a_pts, b1_pts, b2_pts, l_pts, h_pts = _msms_host_native(
+            pk, list(wvals), list(h_ints)
+        )
 
     t0 = _trace("msms total", t0)
+    return _blind_and_assemble(pk, a_pts, b1_pts, b2_pts, l_pts, h_pts, rng, t0)
+
+
+def _blind_and_assemble(pk, a_pts, b1_pts, b2_pts, l_pts, h_pts, rng, t0=0.0):
+    B = len(a_pts)
     # blinding: two rounds of batched pointwise muls (native-accelerated)
     rs = [(rng(), rng()) for _ in range(B)]
     d1 = rj.g1_mul_many(
