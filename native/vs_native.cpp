@@ -872,6 +872,150 @@ long long vs_g2_decompress_many(const std::uint8_t *blobs, std::size_t n, u64 *o
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// MSM bucket scheduler — the host side of ops/msm_sched.py.
+//
+// Replaces the numpy argsort pipeline (schedules are scalar-value-dependent,
+// so every prove pays this cost; see VERDICT round-1 item 3).  Two passes
+// over the (parts x points x windows) digit tensor, no sort:
+//   pass 1: signed w-bit digits + per-(thread, lane) histogram;
+//   pass 2: occurrence index per lane = thread-exclusive-prefix + local
+//           running counter -> (step, entry lane) -> codes matrix.
+// Orphan-lane allocation (hot buckets spilling past the step budget) is
+// vectorised numpy between the passes (ops/msm_sched.py).
+// ---------------------------------------------------------------------------
+
+}  // extern "C" (pause for C++ templates below)
+
+#include <thread>
+
+namespace sched {
+
+inline int num_windows(int w) {
+  int nbits = 256 + w;  // carry headroom, mirrors msm_sched.signed_digits
+  return nbits / w + (nbits % w ? 1 : 0);
+}
+
+// signed digits of one 32-byte LE scalar: digits[j] in [-2^(w-1), 2^(w-1)]
+inline void signed_digits_one(const std::uint8_t *s, int w, int K, std::int16_t *out) {
+  std::uint8_t buf[40];
+  std::memcpy(buf, s, 32);
+  std::memset(buf + 32, 0, 8);
+  const int half = 1 << (w - 1), full = 1 << w;
+  const std::uint32_t mask = full - 1;
+  int carry = 0;
+  for (int j = 0; j < K; j++) {
+    int o = j * w;
+    std::uint32_t word;
+    std::memcpy(&word, buf + (o >> 3), 4);  // little-endian host
+    int raw = int((word >> (o & 7)) & mask) + carry;
+    if (raw > half) {
+      out[j] = std::int16_t(raw - full);
+      carry = 1;
+    } else {
+      out[j] = std::int16_t(raw);
+      carry = 0;
+    }
+  }
+}
+
+inline void thread_range(std::size_t total, int t, int T, std::size_t &lo, std::size_t &hi) {
+  std::size_t per = total / T, rem = total % T;
+  lo = t * per + std::min<std::size_t>(t, rem);
+  hi = lo + per + (std::size_t(t) < rem ? 1 : 0);
+}
+
+}  // namespace sched
+
+extern "C" {
+
+// scalars: (parts*n, 32) LE bytes, scalar (b, i) at index b*n+i.
+// digits out: (parts*n, K) int16.  counts out: (nthreads, K*parts... ) — one
+// uint32 histogram of size parts*K_per_part*2^(w-1) per thread, caller-zeroed.
+// inf: n bytes or NULL.  Returns total nonzero (non-inf) entries.
+long long vs_sched_pass1(const std::uint8_t *scalars, std::size_t parts, std::size_t n,
+                         int w, const std::uint8_t *inf, std::int16_t *digits,
+                         std::uint32_t *counts, int nthreads) {
+  const int K = sched::num_windows(w);
+  const std::size_t bw = std::size_t(1) << (w - 1);
+  const std::size_t canon = parts * std::size_t(K) * bw;
+  const std::size_t total_scalars = parts * n;
+  std::vector<long long> totals(nthreads, 0);
+  auto work = [&](int t) {
+    std::size_t lo, hi;
+    sched::thread_range(total_scalars, t, nthreads, lo, hi);
+    std::uint32_t *cnt = counts + std::size_t(t) * canon;
+    long long tot = 0;
+    for (std::size_t s = lo; s < hi; s++) {
+      std::int16_t *dg = digits + s * K;
+      sched::signed_digits_one(scalars + s * 32, w, K, dg);
+      std::size_t i = s % n;        // point index
+      std::size_t b = s / n;        // part
+      if (inf && inf[i]) continue;
+      for (int j = 0; j < K; j++) {
+        int d = dg[j];
+        if (!d) continue;
+        std::size_t lane = (b * K + j) * bw + (d < 0 ? -d : d) - 1;
+        cnt[lane]++;
+        tot++;
+      }
+    }
+    totals[t] = tot;
+  };
+  std::vector<std::thread> ths;
+  for (int t = 1; t < nthreads; t++) ths.emplace_back(work, t);
+  work(0);
+  for (auto &th : ths) th.join();
+  long long total = 0;
+  for (auto v : totals) total += v;
+  return total;
+}
+
+// Fill the codes matrix.  orph_base: per-canonical-lane base orphan index
+// (entries only read for lanes that spill).  counts: the per-thread
+// histograms from pass 1 (same nthreads!).  codes: (nsteps, lanes) int32,
+// caller-zeroed.
+void vs_sched_pass2(const std::int16_t *digits, std::size_t parts, std::size_t n, int w,
+                    const std::uint8_t *inf, const std::uint32_t *counts,
+                    const std::int32_t *orph_base, int steps_budget, int lanes,
+                    std::int32_t *codes, int nthreads) {
+  const int K = sched::num_windows(w);
+  const std::size_t bw = std::size_t(1) << (w - 1);
+  const std::size_t canon = parts * std::size_t(K) * bw;
+  const std::size_t total_scalars = parts * n;
+  auto work = [&](int t) {
+    std::size_t lo, hi;
+    sched::thread_range(total_scalars, t, nthreads, lo, hi);
+    // occurrence base for this thread = sum of earlier threads' counts
+    std::vector<std::uint32_t> occ(canon, 0);
+    for (int tt = 0; tt < t; tt++) {
+      const std::uint32_t *cnt = counts + std::size_t(tt) * canon;
+      for (std::size_t l = 0; l < canon; l++) occ[l] += cnt[l];
+    }
+    for (std::size_t s = lo; s < hi; s++) {
+      std::size_t i = s % n;
+      std::size_t b = s / n;
+      if (inf && inf[i]) continue;
+      const std::int16_t *dg = digits + s * K;
+      for (int j = 0; j < K; j++) {
+        int d = dg[j];
+        if (!d) continue;
+        std::size_t lane = (b * K + j) * bw + (d < 0 ? -d : d) - 1;
+        std::uint32_t o = occ[lane]++;
+        std::uint32_t chunk = o / steps_budget;
+        std::uint32_t step = o % steps_budget;
+        std::size_t el = chunk ? canon + std::size_t(orph_base[lane]) + chunk - 1 : lane;
+        codes[std::size_t(step) * lanes + el] =
+            std::int32_t((i + 1) | (std::uint32_t(d < 0) << 30));
+      }
+    }
+  };
+  std::vector<std::thread> ths;
+  for (int t = 1; t < nthreads; t++) ths.emplace_back(work, t);
+  work(0);
+  for (auto &th : ths) th.join();
+}
+
 // Pointwise G2 scalar multiplication (mirror of vs_g1_mul_many).
 void vs_g2_mul_many(const u64 *coords, const std::uint8_t *inf, const std::uint8_t *scalars,
                     std::size_t n, u64 *out_coords, std::uint8_t *out_inf) {

@@ -65,6 +65,19 @@ def get_lib():
         fn = getattr(lib, name)
         fn.argtypes = [u8p, ctypes.c_size_t, u64p, u8p]
         fn.restype = ctypes.c_longlong
+    i16p = ctypes.POINTER(ctypes.c_int16)
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.vs_sched_pass1.argtypes = [
+        u8p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int, u8p, i16p, u32p,
+        ctypes.c_int,
+    ]
+    lib.vs_sched_pass1.restype = ctypes.c_longlong
+    lib.vs_sched_pass2.argtypes = [
+        i16p, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int, u8p, u32p, i32p,
+        ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int,
+    ]
+    lib.vs_sched_pass2.restype = None
     assert lib.vs_abi_version() == 1
     return lib
 
@@ -228,6 +241,59 @@ def g2_mul_many(points, scalars) -> list:
     out_inf = np.zeros(n, dtype=np.uint8)
     lib.vs_g2_mul_many(_u64p(coords), _u8p(inf), _u8p(sc), n, _u64p(out), _u8p(out_inf))
     return [_unpack_g2(out, out_inf, i) for i in range(n)]
+
+
+def _i16p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+
+
+def _u32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _i32p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def sched_threads() -> int:
+    return min(16, os.cpu_count() or 1)
+
+
+def sched_pass1(scalar_bytes: np.ndarray, parts: int, n: int, w: int, inf_mask):
+    """scalar_bytes: (parts*n, 32) uint8 C-contiguous LE scalars.
+    Returns (total, digits (parts*n, K) int16, counts (T, canon) uint32)."""
+    lib = get_lib()
+    nbits = 256 + w
+    K = nbits // w + (1 if nbits % w else 0)
+    canon = parts * K << (w - 1)
+    T = sched_threads()
+    digits = np.empty((parts * n, K), dtype=np.int16)
+    counts = np.zeros((T, canon), dtype=np.uint32)
+    inf = None
+    infp = ctypes.POINTER(ctypes.c_uint8)()
+    if inf_mask is not None:
+        inf = np.ascontiguousarray(np.asarray(inf_mask, dtype=np.uint8))
+        infp = _u8p(inf)
+    total = lib.vs_sched_pass1(
+        _u8p(scalar_bytes), parts, n, w, infp, _i16p(digits), _u32p(counts), T
+    )
+    return int(total), digits, counts
+
+
+def sched_pass2(digits, parts, n, w, inf_mask, counts, orph_base, steps_budget,
+                nsteps, lanes):
+    lib = get_lib()
+    codes = np.zeros((nsteps, lanes), dtype=np.int32)
+    inf = None
+    infp = ctypes.POINTER(ctypes.c_uint8)()
+    if inf_mask is not None:
+        inf = np.ascontiguousarray(np.asarray(inf_mask, dtype=np.uint8))
+        infp = _u8p(inf)
+    lib.vs_sched_pass2(
+        _i16p(digits), parts, n, w, infp, _u32p(counts), _i32p(orph_base),
+        steps_budget, lanes, _i32p(codes), counts.shape[0],
+    )
+    return codes
 
 
 def g1_decompress_many(blob: bytes, n: int) -> list:

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -143,6 +144,14 @@ def build_schedule(
     repeated MSMs of the same size reuse one compiled device program.
     """
     w = window_bits
+    from .. import native_bridge as nb
+
+    if nb.available() and os.environ.get("VSTPU_SCHED", "native") == "native":
+        if scalar_limbs is None:
+            from ..params import fr_spec
+
+            scalar_limbs = lb.ints_to_limbs(np.asarray(scalars, dtype=object), fr_spec())
+        return _schedule_native([scalar_limbs], w, inf_mask)
     digs = signed_digits(scalars, w, scalar_limbs=scalar_limbs)  # (n, K)
     return _schedule_from_digits(digs, w, inf_mask, num_parts=1)
 
@@ -150,12 +159,81 @@ def build_schedule(
 def build_schedule_multi(scalar_limbs_list, window_bits: int = 10, inf_mask=None) -> Schedule:
     """One schedule for B independent scalar vectors over a SHARED point set
     (the prover's voters x CRS case): windows of part i live at window offset
-    i*K, so bucket accumulation and combination run as one device program."""
+    i*K, so bucket accumulation and combination run as one device program.
+
+    Dispatches to the native two-pass scheduler (native/vs_native.cpp
+    vs_sched_pass1/2 — no sort, threaded) when built; the numpy argsort path
+    below doubles as its oracle (tests/test_curve_msm_ntt.py)."""
     w = window_bits
+    from .. import native_bridge as nb
+
+    if nb.available() and os.environ.get("VSTPU_SCHED", "native") == "native":
+        return _schedule_native(scalar_limbs_list, w, inf_mask)
     digs = np.concatenate(
         [signed_digits(None, w, scalar_limbs=sl) for sl in scalar_limbs_list], axis=1
     )
     return _schedule_from_digits(digs, w, inf_mask, num_parts=len(scalar_limbs_list))
+
+
+def _limbs_to_le_bytes(scalar_limbs: np.ndarray) -> np.ndarray:
+    """(n, L) active-layout limbs -> (n, 32) uint8 LE scalar bytes (no copy
+    of Python ints; pure vectorised reinterpretation)."""
+    a = np.ascontiguousarray(scalar_limbs)
+    if a.dtype == np.uint32:  # 16-bit limbs in uint32
+        a = a.astype(np.uint16)
+    elif a.dtype == np.uint64:  # 32-bit limbs in uint64
+        a = a.astype(np.uint32)
+    else:  # pragma: no cover
+        raise TypeError(f"unexpected limb dtype {a.dtype}")
+    out = a.view(np.uint8).reshape(a.shape[0], -1)
+    assert out.shape[1] == 32
+    return out
+
+
+def _schedule_native(scalar_limbs_list, w: int, inf_mask) -> Schedule:
+    from .. import native_bridge as nb
+
+    parts = len(scalar_limbs_list)
+    n = int(np.asarray(scalar_limbs_list[0]).shape[0])
+    sc_bytes = np.concatenate([_limbs_to_le_bytes(sl) for sl in scalar_limbs_list])
+    total, digits, counts = nb.sched_pass1(sc_bytes, parts, n, w, inf_mask)
+    K = digits.shape[1]  # windows per part
+    bw = 1 << (w - 1)
+    canon = parts * K * bw
+    loads = counts.sum(axis=0, dtype=np.int64)
+
+    steps = max(16, -(-total * 13 // (10 * canon))) if total else 1
+    max_load = int(loads.max()) if total else 0
+    nsteps = _pad_up(max(min(steps, max_load), 1), 8)
+    chunks = -(-loads // steps)
+    orph_cnt = np.maximum(chunks - 1, 0)
+    n_orphans = int(orph_cnt.sum())
+    lanes = _pad_up(canon + max(n_orphans, 1), 1024)
+    rounds = _pad_up(int(orph_cnt.max()), 4) if n_orphans else 0
+
+    memo = _SHAPE_MEMO.setdefault((n, w, parts), [nsteps, lanes, rounds])
+    memo[0] = nsteps = max(memo[0], nsteps)
+    memo[1] = lanes = max(memo[1], lanes)
+    memo[2] = rounds = max(memo[2], rounds)
+
+    orph_base = np.zeros(canon, dtype=np.int32)
+    if n_orphans:
+        orph_base[1:] = np.cumsum(orph_cnt, dtype=np.int64)[:-1].astype(np.int32)
+    codes = nb.sched_pass2(
+        digits, parts, n, w, inf_mask, counts, orph_base, steps, nsteps, lanes
+    )
+
+    merge_idx = np.zeros((rounds, lanes), dtype=np.int32)
+    if n_orphans:
+        lanes_w = np.nonzero(orph_cnt)[0]
+        reps = orph_cnt[lanes_w]
+        lane_rep = np.repeat(lanes_w, reps)
+        base_rep = np.repeat(orph_base[lanes_w], reps)
+        within = np.arange(len(lane_rep)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        merge_idx[within, lane_rep] = canon + base_rep + within + 1
+    return Schedule(codes, merge_idx, w, K, lanes, total, parts)
 
 
 def _schedule_from_digits(digs, w, inf_mask, num_parts):

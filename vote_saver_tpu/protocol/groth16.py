@@ -419,6 +419,139 @@ def _h_scalars(pk: ProvingKey, wvals: np.ndarray) -> np.ndarray:
     return h_std[:, : pk.domain - 1, :]
 
 
+_ABC_CHUNK = 4096
+
+
+def _abc_coo_device(pk: ProvingKey):
+    """Per-matrix COO tensors for the device A/B/C evaluation, cached on pk.
+
+    Coefficients are stored in DOUBLE-Montgomery form (c*R_mont^2 mod N): one
+    Montgomery mul against the Montgomery-form witness yields the canonical
+    value of (c*w)*R_mont^2... *R^-1 = (c*w)_mont * R_mont, so after the
+    per-row lazy sum a single reduce_lazy lands exactly on Montgomery form.
+    The A matrix gains the libsnark input-consistency entries
+    (row nc+i, col i, coeff 1).  Entries are padded to a chunk multiple with
+    zero coefficients (zero products scatter harmlessly into row 0).
+    """
+    if "abc_coo" in pk._dev:
+        return pk._dev["abc_coo"]
+    spec = fr_spec()
+    out = {}
+    for name in ("a", "b", "c"):
+        rows, cols, coeffs = pk.coo[name]
+        rows, cols = np.asarray(rows, np.int32), np.asarray(cols, np.int32)
+        coeffs = list(coeffs)
+        if name == "a":
+            extra = pk.num_primary + 1
+            rows = np.concatenate(
+                [rows, pk.num_constraints + np.arange(extra, dtype=np.int32)]
+            )
+            cols = np.concatenate([cols, np.arange(extra, dtype=np.int32)])
+            coeffs = coeffs + [1] * extra
+        c2m = [spec.to_mont(spec.to_mont(int(c))) for c in coeffs]
+        nnz = rows.shape[0]
+        P = -(-nnz // _ABC_CHUNK) * _ABC_CHUNK
+        pad = P - nnz
+        rows = np.concatenate([rows, np.zeros(pad, np.int32)])
+        cols = np.concatenate([cols, np.zeros(pad, np.int32)])
+        c2m_l = np.concatenate(
+            [lb.ints_to_limbs(c2m, spec), np.zeros((pad, spec.num_limbs), lb.limb_dtype(spec))]
+        )
+        K = P // _ABC_CHUNK
+        out[name] = (
+            rows.reshape(K, _ABC_CHUNK),
+            cols.reshape(K, _ABC_CHUNK),
+            c2m_l.reshape(K, _ABC_CHUNK, spec.num_limbs),
+        )
+    pk._dev["abc_coo"] = out
+    return out
+
+
+def _abc_h_w_fn(pk: ProvingKey):
+    """Cached jit: Montgomery witness (B, m, L) ->
+    (h_std (B, domain-1, L), w_std (B, m, L), sat (B,) bool).
+
+    The device replacement for the host sparse matvec `_abc_evaluations` +
+    coset-NTT `_h_scalars`: COO gather + Montgomery mul (double-Montgomery
+    coefficients) + scatter-add of lazy limb columns, one reduce_lazy per
+    row, then the (AB-C)/Z_H coset division.  `sat` is the batched R1CS
+    satisfiability check (the reference's BOOST_ASSERT ladder,
+    common.hpp:1110-1128, as one device reduction).
+    """
+    if "abc_h_w_fn" in pk._dev:
+        return pk._dev["abc_h_w_fn"]
+    f = fr_ops()
+    ntt = get_ntt(pk.domain)
+    coo = _abc_coo_device(pk)
+    n, nc = pk.domain, pk.num_constraints
+
+    def matvec(w_mont, name):
+        rows_c, cols_c, c2m_c = (jnp.asarray(x) for x in coo[name])
+        B = w_mont.shape[0]
+        acc0 = jnp.zeros((B, n, f.L), f.dtype)
+
+        def body(acc, xs):
+            rows_k, cols_k, c2m_k = xs
+            wg = jnp.take(w_mont, cols_k, axis=1)  # (B, CH, L)
+            cw = f.mul(c2m_k[None], wg)  # canonical (< N); exact limbs
+            return acc.at[:, rows_k].add(cw), None
+
+        acc, _ = jax.lax.scan(body, acc0, (rows_c, cols_c, c2m_c))
+        # rows hold <= 254 terms (largest LC = one packing chunk), so lazy
+        # limb sums stay far below the reduce_lazy column bound
+        return f.reduce_lazy(acc)
+
+    def fn(w_mont):
+        a_ev = matvec(w_mont, "a")
+        b_ev = matvec(w_mont, "b")
+        c_ev = matvec(w_mont, "c")
+        # satisfiability: AB-C vanishes on every constraint row (rows past
+        # nc are the input-consistency block where B is identically zero)
+        diff = f.sub(f.mul(a_ev, b_ev), c_ev)
+        sat = jnp.all(f.is_zero(diff), axis=-1)
+        ca = ntt.coset_ntt(ntt.intt(a_ev))
+        cb = ntt.coset_ntt(ntt.intt(b_ev))
+        cc = ntt.coset_ntt(ntt.intt(c_ev))
+        h_ev = f.mul(f.sub(f.mul(ca, cb), cc), jnp.asarray(ntt.zh_coset_inv_limbs))
+        h = ntt.coset_intt(h_ev)
+        h_std = f.from_mont(h)[:, : n - 1]
+        w_std = f.from_mont(w_mont)
+        return h_std, w_std, sat
+
+    pk._dev["abc_h_w_fn"] = jax.jit(fn)
+    return pk._dev["abc_h_w_fn"]
+
+
+def prove_device(pk: ProvingKey, w_mont, rng: FrRandom) -> tuple[list[Proof], np.ndarray]:
+    """Prove from a device-resident Montgomery witness tensor (B, m, L)
+    (as produced by circuit.witness_dev.generate_witness_device).
+
+    Returns (proofs, w_std): w_std is the standard-form limb witness on host
+    (callers slice the primary input out of it).  Raises AssertionError if
+    any assignment fails the R1CS (mirroring the reference's in-production
+    BOOST_ASSERT at common.hpp:1110-1128).
+    """
+    import time
+
+    t0 = time.time()
+    h_std, w_std, sat = _abc_h_w_fn(pk)(w_mont)
+    h_np, w_np, sat_np = jax.device_get((h_std, w_std, sat))
+    assert bool(np.all(sat_np)), "witness generation failed (R1CS unsatisfied)"
+    t0 = _trace("abc+h device", t0)
+
+    B = w_np.shape[0]
+    if use_device():
+        pts = _msms_device(pk, list(w_np), list(h_np))
+    else:
+        spec = fr_spec()
+        w_ints = lb.limbs_to_ints(w_np, spec)
+        h_ints = lb.limbs_to_ints(h_np, spec)
+        pts = _msms_host_native(pk, list(w_ints), list(h_ints))
+    a_pts, b1_pts, b2_pts, l_pts, h_pts = pts
+    t0 = _trace("msms total", t0)
+    return _blind_and_assemble(pk, a_pts, b1_pts, b2_pts, l_pts, h_pts, rng, t0), w_np
+
+
 def _msms_host_native(pk: ProvingKey, w_ints: list, h_ints: list):
     """CPU path: the native MSM releases the GIL, so the 5 MSMs x B voters
     run on a thread pool (true parallelism through the C library)."""

@@ -9,6 +9,8 @@ SURVEY.md §2D).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from ..params import (
@@ -103,6 +105,50 @@ def init_admin_phase_generate_data(
 # ---------------------------------------------------------------------------
 
 
+class VoteContext:
+    """Parsed, device-resident election state for repeated ballot generation.
+
+    The reference re-deserializes every blob inside each vote-phase call
+    (common.hpp:996-1006, dominated by the CRS); production serving keeps the
+    CRS resident — `prepare_vote_context` parses once, `vote_with_context`
+    is the hot path (what bench.py's proofs/sec/chip measures)."""
+
+    def __init__(self, tree_depth, eid_bits, circ, levels, eid_field, eid, spk, vk, pk):
+        self.tree_depth = tree_depth
+        self.eid_bits = eid_bits
+        self.circ = circ
+        self.levels = levels
+        self.eid_field = eid_field
+        self.eid = eid
+        self.spk = spk
+        self.vk = vk
+        self.pk = pk
+
+
+def prepare_vote_context(
+    tree_depth: int,
+    eid_bits: int,
+    merkle_tree_blob: bytes,
+    rt_blob: bytes,
+    eid_blob: bytes,
+    pk_eid_blob: bytes,
+    proving_key_blob: bytes,
+    verification_key_blob: bytes,
+) -> VoteContext:
+    circ = build_voting_circuit(tree_depth, eid_bits)
+    flat = M.de_merkle_tree(merkle_tree_blob, tree_depth)
+    levels = merkle.unflatten_tree(flat, tree_depth)
+    admin_rt = M.de_scalar_vector(rt_blob)
+    rt_bits = [int(b) for b in merkle.root(levels)]
+    assert M.pack_bits_to_field_elements(rt_bits) == admin_rt, "merkle root mismatch"
+    eid_field = M.de_scalar_vector(eid_blob)
+    eid = M.unpack_field_elements_to_bits(eid_field, eid_bits)
+    spk = M.de_saver_pk(pk_eid_blob)
+    vk = M.de_groth16_vk(verification_key_blob)
+    pk = M.de_groth16_pk(proving_key_blob, coo=circ.cs.to_coo())
+    return VoteContext(tree_depth, eid_bits, circ, levels, eid_field, eid, spk, vk, pk)
+
+
 def vote_phase_batch(
     tree_depth: int,
     eid_bits: int,
@@ -121,43 +167,65 @@ def vote_phase_batch(
     (proof_blob, pinput_blob, ct_blob, sn_blob) exactly as serialize_data
     (common.hpp:462-485,1148-1160): pinput is the primary input from the
     eid offset on, sn is the packed sn slice."""
+    ctx = prepare_vote_context(
+        tree_depth, eid_bits, merkle_tree_blob, rt_blob, eid_blob,
+        pk_eid_blob, proving_key_blob, verification_key_blob,
+    )
+    return vote_with_context(ctx, voter_indices, votes, sk_blobs, rng)
+
+
+def vote_with_context(
+    ctx: VoteContext,
+    voter_indices: list[int],
+    votes: list[int],
+    sk_blobs: list[bytes],
+    rng: FrRandom | None = None,
+) -> list[tuple[bytes, bytes, bytes, bytes]]:
     rng = rng or FrRandom()
     B = len(voter_indices)
     assert len(votes) == B and len(sk_blobs) == B
-
-    circ = build_voting_circuit(tree_depth, eid_bits)
-    flat = M.de_merkle_tree(merkle_tree_blob, tree_depth)
-    levels = merkle.unflatten_tree(flat, tree_depth)
-    admin_rt = M.de_scalar_vector(rt_blob)
-    rt_bits = [int(b) for b in merkle.root(levels)]
-    assert M.pack_bits_to_field_elements(rt_bits) == admin_rt, "merkle root mismatch"
-    eid_field = M.de_scalar_vector(eid_blob)
-    eid = M.unpack_field_elements_to_bits(eid_field, eid_bits)
+    tree_depth, eid_bits = ctx.tree_depth, ctx.eid_bits
+    circ, levels, eid_field, eid = ctx.circ, ctx.levels, ctx.eid_field, ctx.eid
+    spk, vk, pk = ctx.spk, ctx.vk, ctx.pk
     sks = [M.de_bitarray(b, SECRET_KEY_BITS) for b in sk_blobs]
-    spk = M.de_saver_pk(pk_eid_blob)
-    vk = M.de_groth16_vk(verification_key_blob)
-    pk = M.de_groth16_pk(proving_key_blob, coo=circ.cs.to_coo())
 
     for idx in voter_indices:
         assert idx < (1 << tree_depth), "Voter index should be less than number of participants!"
 
     sib = np.stack([merkle.copath(levels, i) for i in voter_indices]).astype(object)
-    wit = circ.generate_witness(
-        np.array(votes),
-        np.array(eid, dtype=object),
-        np.array(sks, dtype=object),
-        np.array(voter_indices),
-        sib,
-    )
-    assert circ.cs.is_satisfied(wit.values), "witness generation failed"
-    proofs = groth16.prove(pk, wit.values, rng)
+    if os.environ.get("VSTPU_HOST_WITNESS"):
+        # legacy host object-int walk (kept for parity testing)
+        wit = circ.generate_witness(
+            np.array(votes),
+            np.array(eid, dtype=object),
+            np.array(sks, dtype=object),
+            np.array(voter_indices),
+            sib,
+        )
+        assert circ.cs.is_satisfied(wit.values), "witness generation failed"
+        proofs = groth16.prove(pk, wit.values, rng)
+        prim = wit.primary(circ.cs.num_primary)
+    else:
+        from ..circuit import witness_dev as wd
+        from ..params import fr_spec
+        from ..ops import limbs as lb
+
+        w_mont = wd.generate_witness_device(
+            circ, np.array(votes), eid, sks, np.array(voter_indices), sib
+        )
+        proofs, w_std = groth16.prove_device(pk, w_mont, rng)
+        prim = lb.limbs_to_ints(
+            w_std[:, 1 : 1 + circ.cs.num_primary], fr_spec()
+        )
 
     out = []
-    prim = wit.primary(circ.cs.num_primary)
+    m_fields = [[int(x) for x in prim[i, :MSG_SIZE]] for i in range(B)]
+    cts0 = saver.encrypt_many(spk, vk, m_fields, [rng() for _ in range(B)])
+    rerand = saver.rerandomize_many(
+        spk, pk.delta_g2, cts0, proofs, [[rng() for _ in range(3)] for _ in range(B)]
+    )
     for i in range(B):
-        m_field = [int(x) for x in prim[i, : MSG_SIZE]]
-        ct = saver.encrypt(spk, vk, m_field, rng())
-        ct, proof = saver.rerandomize(spk, pk.delta_g2, ct, proofs[i], [rng() for _ in range(3)])
+        ct, proof = rerand[i]
         pinput = [int(x) for x in prim[i]]
         eid_off = MSG_SIZE
         sn_off = eid_off + len(eid_field)

@@ -104,6 +104,75 @@ def encrypt(pk: SaverPublicKey, gvk: VerificationKey, m: list[int], r: int) -> C
     return Ciphertext([c0] + cs + [psi])
 
 
+def encrypt_many(
+    pk: SaverPublicKey, gvk: VerificationKey, ms: list[list[int]], rs: list[int]
+) -> list[Ciphertext]:
+    """Batched encrypt over voters: ONE native pointwise-mul call for all
+    B*(n+2) randomizer multiplications (the reference encrypts per voter in
+    its serial loop, common.hpp:1132-1135; batching over voters is this
+    framework's data-parallel axis, SURVEY.md §2D)."""
+    n = pk.n
+    B = len(ms)
+    assert len(rs) == B
+    bases = [rc.g1_gen] + pk.s_pts + [pk.x_psi]
+    all_scalars: list[int] = []
+    for r in rs:
+        all_scalars.extend([r] * (n + 2))
+    randomized = rj.g1_mul_many(bases * B, all_scalars)
+    p_bases = message_bases(gvk, n)
+    outs = []
+    for b in range(B):
+        seg = randomized[b * (n + 2) : (b + 1) * (n + 2)]
+        c0, cs, psi = seg[0], list(seg[1 : n + 1]), seg[n + 1]
+        m = ms[b]
+        for i in range(n):
+            if m[i]:
+                cs[i] = rc.g1_add(cs[i], rc.g1_mul(p_bases[i], m[i]))
+                psi = rc.g1_add(psi, rc.g1_mul(pk.y_pts[i], m[i]))
+        outs.append(Ciphertext([c0] + cs + [psi]))
+    return outs
+
+
+def rerandomize_many(
+    pk: SaverPublicKey,
+    delta_g2,
+    cts: list[Ciphertext],
+    proofs: list[Proof],
+    rnds: list[list[int]],
+) -> list[tuple[Ciphertext, Proof]]:
+    """Batched rerandomize: all G1 work rides two native pointwise-mul calls."""
+    B = len(cts)
+    zs = []
+    for rnd in rnds:
+        z1, z2, r2 = (x % R for x in rnd[:3])
+        if z1 == 0:
+            z1 = 1
+        zs.append((z1, z2, r2))
+    n = pk.n
+    bases = [rc.g1_gen] + pk.s_pts + [pk.x_psi]
+    blind_scalars: list[int] = []
+    for _, _, r2 in zs:
+        blind_scalars.extend([r2] * (n + 2))
+    blinds = rj.g1_mul_many(bases * B, blind_scalars)
+    g1_jobs_pts = [p.a for p in proofs] + [p.a for p in proofs]
+    g1_jobs_sc = [pow(z1, R - 2, R) for z1, _, _ in zs] + [z2 for _, z2, _ in zs]
+    g1_res = rj.g1_mul_many(g1_jobs_pts, g1_jobs_sc)
+    g2_res = rj.g2_mul_many(
+        [p.b for p in proofs] + [delta_g2] * B,
+        [z1 for z1, _, _ in zs] + [z1 * z2 % R for z1, z2, _ in zs],
+    )
+    outs = []
+    for b in range(B):
+        seg = blinds[b * (n + 2) : (b + 1) * (n + 2)]
+        pts = cts[b].points
+        new_pts = [rc.g1_add(p, s) for p, s in zip(pts, seg)]
+        a = g1_res[b]
+        c = rc.g1_add(proofs[b].c, g1_res[B + b])
+        bb = rc.g2_add(g2_res[b], g2_res[B + b])
+        outs.append((Ciphertext(new_pts), Proof(a=a, b=bb, c=c)))
+    return outs
+
+
 def rerandomize(
     pk: SaverPublicKey,
     delta_g2,
