@@ -69,7 +69,6 @@ def main():
         [k.secret_key for k in keypairs], args.tree_depth, rng=rng,
     )
 
-    bb.set_verify_context(M.de_saver_vk(keys.verification_key))
     pinput0 = M.de_scalar_vector(ballots[0].primary_input)
     eid_bits = M.unpack_field_elements_to_bits(pinput0[:1], 64)
     vi0, sec0 = _vi(ballots[0], keys, eid_bits)
@@ -114,7 +113,8 @@ def _vi(ballot, keys, eid_bits):
     sn_bits = M.unpack_field_elements_to_bits(pinput[1:3], 255)
     rt_bits = M.unpack_field_elements_to_bits(pinput[3:5], 255)
     return bb.build_vi(ballot.proof, keys.r1cs_verification_key, keys.public_key,
-                       ballot.ct, eid_bits, sn_bits, rt_bits)
+                       ballot.ct, eid_bits, sn_bits, rt_bits,
+                       vk_eid_blob=keys.verification_key)
 
 
 if __name__ == "__main__":

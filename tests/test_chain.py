@@ -20,12 +20,12 @@ def _make_vi(e, ballot_idx):
     eid_bits = M.unpack_field_elements_to_bits(pinput[:1], 64)
     sn_bits = M.unpack_field_elements_to_bits(pinput[1:3], 255)
     rt_bits = M.unpack_field_elements_to_bits(pinput[3:5], 255)
-    return bb.build_vi(proof_b, e["vk_crs"], e["pk_eid"], ct_b, eid_bits, sn_bits, rt_bits)
+    return bb.build_vi(proof_b, e["vk_crs"], e["pk_eid"], ct_b, eid_bits, sn_bits,
+                       rt_bits, vk_eid_blob=e["vk_eid"])
 
 
 @pytest.fixture(scope="module")
 def chain(election):
-    bb.set_verify_context(M.de_saver_vk(election["vk_eid"]))
     admin = SaverAdmin(owner="admin_key")
     # CRS chunked upload
     for off in range(0, len(election["pk_crs"]), CHUNK):

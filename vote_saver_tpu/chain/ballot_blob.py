@@ -2,13 +2,21 @@
 
 Layout (reference README.md:117-135, notebook cell 0/20, main.cpp:690-698):
 
-    vi = mode(1B) ‖ proof(192B) ‖ vk_crs ‖ pk_eid ‖ ct ‖ eid ‖ sn ‖ rt
+    vi = mode(1B) ‖ proof(192B) ‖ vk_crs ‖ pk_eid ‖ vk_eid ‖ ct ‖ eid ‖ sn ‖ rt
 
 with mode 0x01 = encrypted-primary-input Groth16, and the trailing eid/sn/rt
 sections *bit-expanded*: one 32-byte big-endian field element (0 or 1) per
 bit — 64/255/255 elements, spans 2048/8160/8160 bytes, matching the worked
 offsets in README.md:219.  The packed 254-bit-chunk encoding used inside the
 proof's primary input is recovered by re-packing the expanded bits.
+
+The middle section (proof_end..ct_begin) carries every key `vergrth16` needs
+— vk_crs, pk_eid and the SAVER verification key vk_eid, each self-describing
+— so a ballot verifies from vi alone, matching the embedded-key semantics of
+the TVM builtin (reference README.md:129-135, voting_voter.sol:94).  vk_eid
+rides alongside pk_eid because this framework's ct well-formedness check
+(saver.verify_encryption, docs/SAVER_SPEC.md) pairs against V/Z points that
+live in the verification key rather than the public key.
 """
 
 from __future__ import annotations
@@ -55,9 +63,13 @@ def build_vi(
     eid_bits: list[int],
     sn_bits: list[int],
     rt_bits: list[int],
+    vk_eid_blob: bytes = b"",
 ) -> tuple[bytes, BallotSections]:
     assert len(proof_blob) == 192
-    parts = [bytes([MODE_ENCRYPTED_INPUT]), proof_blob, vk_crs_blob, pk_eid_blob, ct_blob]
+    parts = [
+        bytes([MODE_ENCRYPTED_INPUT]), proof_blob, vk_crs_blob, pk_eid_blob,
+        vk_eid_blob, ct_blob,
+    ]
     off = sum(len(p) for p in parts)
     sec = BallotSections(
         proof_end=1 + 192,
@@ -76,7 +88,7 @@ def split_vi(vi: bytes, sec: BallotSections):
     return {
         "mode": vi[0],
         "proof": vi[1 : sec.proof_end],
-        "middle": vi[sec.proof_end : sec.ct_begin],  # vk_crs ‖ pk_eid
+        "middle": vi[sec.proof_end : sec.ct_begin],  # vk_crs ‖ pk_eid ‖ vk_eid
         "ct": vi[sec.ct_begin : sec.ct_end],
         "eid": vi[sec.eid_begin : sec.sn_begin],
         "sn": vi[sec.sn_begin : sec.rt_begin],
@@ -94,11 +106,12 @@ def vergrth16(vi: bytes, sec: BallotSections, eid_bits_len: int = DEFAULT_EID_BI
         if s["mode"] != MODE_ENCRYPTED_INPUT:
             return False
         proof = M.de_proof(s["proof"])
-        # middle = vk_crs ‖ pk_eid; vk_crs is self-describing
+        # middle = vk_crs ‖ pk_eid ‖ vk_eid; every part self-describing
         middle = s["middle"]
-        vk, vk_len = _de_vk_prefix(middle)
-        # pk_eid occupies the rest (validated by its own parser)
-        M.de_saver_pk(middle[vk_len:])
+        vk, off = _de_vk_prefix(middle)
+        pk_len = _saver_pk_len(middle, off)
+        M.de_saver_pk(middle[off : off + pk_len])  # well-formedness
+        svk = M.de_saver_vk(middle[off + pk_len :])
         ct = M.de_ct(s["ct"])
         eid_bits = _collapse_bits(s["eid"])
         sn_bits = _collapse_bits(s["sn"])
@@ -108,11 +121,8 @@ def vergrth16(vi: bytes, sec: BallotSections, eid_bits_len: int = DEFAULT_EID_BI
             + M.pack_bits_to_field_elements(sn_bits)
             + M.pack_bits_to_field_elements(rt_bits)
         )
-        svk = _VERIFY_CONTEXT.get("svk")
-        if svk is None:
-            return False
         return saver.verify_encryption(vk, svk, ct, proof, rest)
-    except (AssertionError, IndexError, ValueError):
+    except (AssertionError, IndexError, ValueError, KeyError):
         return False
 
 
@@ -126,12 +136,12 @@ def _de_vk_prefix(blob: bytes):
     return M.de_groth16_vk(blob[:length]), length
 
 
-# The SAVER verification key is election-global state the on-chain verifier
-# holds out-of-band (the TVM builtin keys it from the vi's embedded keys; our
-# scheme's well-formedness check additionally needs svk — registered here by
-# the simulator / test harness).
-_VERIFY_CONTEXT: dict = {}
+def _saver_pk_len(blob: bytes, off: int) -> int:
+    """Length of a serialized SaverPublicKey at `blob[off:]` — two 8-byte
+    length-prefixed G1 vectors around one bare G1 (marshal.ser_saver_pk)."""
+    import struct
 
-
-def set_verify_context(svk) -> None:
-    _VERIFY_CONTEXT["svk"] = svk
+    (n_s,) = struct.unpack(">Q", blob[off : off + 8])
+    mid = off + 8 + (n_s + 1) * M.G1_SIZE
+    (n_y,) = struct.unpack(">Q", blob[mid : mid + 8])
+    return mid + 8 + n_y * M.G1_SIZE - off
