@@ -59,15 +59,16 @@ def _bits_from_limbs(limbs: np.ndarray, limb_bits: int, nbits: int) -> np.ndarra
     return bits[:, :nbits]
 
 
-def signed_digits(scalars, window_bits: int, scalar_limbs=None) -> np.ndarray:
+def signed_digits(scalars, window_bits: int, scalar_limbs=None, scalar_bits: int = 256) -> np.ndarray:
     """Scalars -> (n, K) int32 signed digits, d_j in [-2^(w-1), 2^(w-1)].
 
     sum_j d_j * 2^(w*j) == scalar.  Pass ``scalar_limbs`` ((n, L) plain LE
     limbs in the active layout) to skip the python int conversion — the hot
-    prover path already holds limbs.
+    prover path already holds limbs.  ``scalar_bits`` bounds the scalars
+    (fewer windows for small-scalar MSMs, e.g. test rigs).
     """
     w = window_bits
-    nbits = 256 + w  # headroom for the final carry window
+    nbits = scalar_bits + w  # headroom for the final carry window
     K = nbits // w + (1 if nbits % w else 0)
     if scalar_limbs is None:
         from ..params import fr_spec
@@ -132,11 +133,19 @@ def _pad_up(x: int, m: int) -> int:
 _SHAPE_MEMO: dict = {}
 
 
+def _lane_pad() -> int:
+    """Lane-count padding granularity: coarse on TPU (stable jit shapes,
+    full lane tiles), fine on the CPU test/dryrun rig (complete-add lanes
+    are expensive there and shapes recompile cheaply)."""
+    return 1024 if jax.default_backend() == "tpu" else 128
+
+
 def build_schedule(
     scalars=None,
     window_bits: int = 10,
     inf_mask=None,
     scalar_limbs=None,
+    scalar_bits: int = 256,
 ) -> Schedule:
     """Assign every nonzero (window, point) digit to (step, bucket-lane).
 
@@ -146,13 +155,17 @@ def build_schedule(
     w = window_bits
     from .. import native_bridge as nb
 
-    if nb.available() and os.environ.get("VSTPU_SCHED", "native") == "native":
+    if (
+        nb.available()
+        and os.environ.get("VSTPU_SCHED", "native") == "native"
+        and scalar_bits >= 256
+    ):
         if scalar_limbs is None:
             from ..params import fr_spec
 
             scalar_limbs = lb.ints_to_limbs(np.asarray(scalars, dtype=object), fr_spec())
         return _schedule_native([scalar_limbs], w, inf_mask)
-    digs = signed_digits(scalars, w, scalar_limbs=scalar_limbs)  # (n, K)
+    digs = signed_digits(scalars, w, scalar_limbs=scalar_limbs, scalar_bits=scalar_bits)
     return _schedule_from_digits(digs, w, inf_mask, num_parts=1)
 
 
@@ -208,7 +221,7 @@ def _schedule_native(scalar_limbs_list, w: int, inf_mask) -> Schedule:
     chunks = -(-loads // steps)
     orph_cnt = np.maximum(chunks - 1, 0)
     n_orphans = int(orph_cnt.sum())
-    lanes = _pad_up(canon + max(n_orphans, 1), 1024)
+    lanes = _pad_up(canon + max(n_orphans, 1), _lane_pad())
     rounds = _pad_up(int(orph_cnt.max()), 4) if n_orphans else 0
 
     memo = _SHAPE_MEMO.setdefault((n, w, parts), [nsteps, lanes, rounds])
@@ -271,7 +284,7 @@ def _schedule_from_digits(digs, w, inf_mask, num_parts):
     pair_key = lane_s[spill] * max_chunk + chunk[spill]
     uniq, pair_inv = np.unique(pair_key, return_inverse=True)
     n_orphans = uniq.shape[0]
-    lanes = _pad_up(canon + max(n_orphans, 1), 1024)
+    lanes = _pad_up(canon + max(n_orphans, 1), _lane_pad())
     nsteps = _pad_up(max(int(step.max()) + 1 if total else 1, 1), 8)
     if n_orphans:
         first = np.unique(pair_key, return_index=True)[1]
@@ -329,9 +342,31 @@ def g2_affine_to_device(points):
 
 
 def _madd(group: str):
-    from . import pallas_field as pf
+    ops = _ops(group)
+    if ops._pallas() is not None:
+        from . import pallas_field as pf
 
-    return pf.g1_madd_pallas if group == "g1" else pf.g2_madd_pallas
+        return pf.g1_madd_pallas if group == "g1" else pf.g2_madd_pallas
+    return _madd_ops(ops)
+
+
+def _madd_ops(ops: co.JacobianOps):
+    """Complete-formula mixed add on the XLA path — lets the scheduled MSM
+    run on layouts without the fused Pallas kernels (the 32-bit CPU rig /
+    dryrun mesh).  Complete addition has no doubling corner, so the
+    exceptional flag is identically zero."""
+
+    def madd(acc, q_affine, sign, active):
+        f = ops.f
+        qx, qy = q_affine
+        inf_pt = f.is_zero(qx) & f.is_zero(qy)  # (0,0) encodes infinity
+        act = active & ~inf_pt
+        qy = f.select(sign, f.neg(qy), qy)
+        added = ops.add(acc, (qx, qy, ops._one_like(qx)))
+        out = tuple(f.select(act, a, c) for a, c in zip(added, acc))
+        return out, jnp.zeros(active.shape, jnp.uint32)
+
+    return madd
 
 
 def _ops(group: str) -> co.JacobianOps:
@@ -340,8 +375,9 @@ def _ops(group: str) -> co.JacobianOps:
 
 def _infinity(ops, lanes, g2: bool):
     L = fq_spec().num_limbs
+    dtype = ops.f.fq.dtype if g2 else ops.f.dtype
     shape = (lanes, 2, L) if g2 else (lanes, L)
-    x = jnp.zeros(shape, jnp.uint32)
+    x = jnp.zeros(shape, dtype)
     return ops.infinity_like(x)
 
 

@@ -12,6 +12,7 @@ one fused graph.  Supports coset evaluation for the (A*B-C)/Z division.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -22,12 +23,25 @@ from . import limbs as lb
 from .field_ops import fr_ops
 
 
+def _mxu_default(n: int) -> bool:
+    """Matmul-NTT dispatch: on by default on TPU for MXU-worthy domains.
+
+    VSTPU_NTT=mxu forces it everywhere (CPU tests), =radix2 disables."""
+    mode = os.environ.get("VSTPU_NTT", "auto")
+    if mode == "radix2":
+        return False
+    if mode == "mxu":
+        return True
+    return n >= (1 << 12) and jax.default_backend() == "tpu"
+
+
 class NTT:
     def __init__(self, n: int):
         assert n & (n - 1) == 0, "domain size must be a power of two"
         assert n <= (1 << FR_TWO_ADICITY)
         self.n = n
         self.k = n.bit_length() - 1
+        self.use_mxu = _mxu_default(n)
         spec = fr_spec()
         self.f = fr_ops()
 
@@ -78,23 +92,36 @@ class NTT:
             x = x.reshape(*shp, n, x.shape[-1])
         return x
 
+    def _mxu_plan(self, kind: str):
+        from . import ntt_mxu
+
+        return ntt_mxu.get_plan(self.n, kind)
+
     def ntt(self, coeffs):
         """Coefficients -> evaluations on the size-n subgroup (natural order)."""
+        if self.use_mxu:
+            return self._mxu_plan("fwd").apply(coeffs)
         x = jnp.take(coeffs, jnp.asarray(self.bitrev), axis=-2)
         return self._core(x, self.tw_fwd)
 
     def intt(self, evals):
         """Evaluations -> coefficients."""
+        if self.use_mxu:
+            return self._mxu_plan("inv").apply(evals)
         x = jnp.take(evals, jnp.asarray(self.bitrev), axis=-2)
         x = self._core(x, self.tw_inv)
         return self.f.mul(x, jnp.asarray(self.n_inv_limbs))
 
     def coset_ntt(self, coeffs):
         """Evaluate on the coset g*H (g = Fr multiplicative generator)."""
+        if self.use_mxu:
+            return self._mxu_plan("fwd_coset").apply(coeffs)
         scaled = self.f.mul(coeffs, jnp.asarray(self.coset_pows))
         return self.ntt(scaled)
 
     def coset_intt(self, evals):
+        if self.use_mxu:
+            return self._mxu_plan("inv_coset").apply(evals)
         coeffs = self.intt(evals)
         return self.f.mul(coeffs, jnp.asarray(self.coset_pows_inv))
 
