@@ -174,6 +174,62 @@ class FqEmit:
         return self._const_rows(self.one_ints, a.shape[1])
 
 
+class FqEmitFold(FqEmit):
+    """FqEmit with the matmul-fold multiplier (ops/fold_mul.py): the product
+    phase is exact-f32 digit FMAs and the whole Montgomery reduction is one
+    bf16 matmul against a constant fold matrix (rides the MXU inside the
+    kernel).  The matrix arrives as an extra kernel input; the kernel body
+    sets ``self.fold`` to its (nbytes, rows) bf16 value.  Select with
+    VSTPU_MUL=fold (docs/ROADMAP.md round-2 item 2)."""
+
+    def __init__(self, spec: FieldSpec):
+        super().__init__(spec)
+        from . import fold_mul as fm
+
+        self._fm = fm
+        self.plan = fm.plan(spec)
+        self.fold = None  # (nbytes, rows) bf16, set by the kernel body
+
+    def _mul_cols(self, cols):
+        fm = self._fm
+        rows = fm.fold_columns(self.plan, cols, self.fold)
+        return self._stack(fm.csub_rows(self.plan, rows))
+
+    def mul(self, a, b):
+        fm = self._fm
+        da = fm.digit_rows(self.plan, a)
+        db = fm.digit_rows(self.plan, b)
+        return self._mul_cols(fm.product_columns(self.plan, da, db))
+
+    def sq(self, a):
+        fm = self._fm
+        da = fm.digit_rows(self.plan, a)
+        return self._mul_cols(fm.square_columns(self.plan, da))
+
+
+def _mul_mode() -> str:
+    return os.environ.get("VSTPU_MUL", "v1")
+
+
+def _make_emit(spec: FieldSpec, mode: str) -> "FqEmit":
+    return FqEmitFold(spec) if mode == "fold" else FqEmit(spec)
+
+
+def _fold_inputs(emit):
+    """(extra kernel inputs, extra in_specs, binder) for the fold matrix —
+    empty for the v1 emitter, one (nbytes, rows) bf16 input for fold mode."""
+    if not isinstance(emit, FqEmitFold):
+        return (), (), lambda ref: None
+
+    mat_t = jnp.asarray(np.ascontiguousarray(emit.plan["mat"].T), jnp.bfloat16)
+    spec = pl.BlockSpec(mat_t.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    def bind(ref):
+        emit.fold = ref[:]
+
+    return (mat_t,), (spec,), bind
+
+
 class Fq2Emit:
     """Fq2 = Fq[u]/(u^2+1) on pairs (c0, c1) of (L, B) values (Karatsuba)."""
 
@@ -299,98 +355,118 @@ def _c2(x):  # (2, L, B) -> ((L,B), (L,B))
 
 
 @functools.cache
-def _g1_add_call(ntiles: int, tile: int, complete: bool):
-    emit = FqEmit(fq_spec())
+def _g1_add_call(ntiles: int, tile: int, complete: bool, mode: str = "v1"):
+    emit = _make_emit(fq_spec(), mode)
     L = emit.L
+    extras, extra_specs, bind = _fold_inputs(emit)
+    ne = len(extras)
 
-    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, acc):
-        emit.acc = acc
-        p = (x1[:], y1[:], z1[:])
-        q = (x2[:], y2[:], z2[:])
+    def kernel(*refs):
+        emit.acc = refs[-1]
+        bind(refs[6]) if ne else None
+        p = tuple(r[:] for r in refs[0:3])
+        q = tuple(r[:] for r in refs[3:6])
         rx, ry, rz = _jac_add(emit, p, q, complete)
-        ox[:], oy[:], oz[:] = rx, ry, rz
+        for oref, val in zip(refs[6 + ne : 9 + ne], (rx, ry, rz)):
+            oref[:] = val
 
     shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g1_spec(tile)] * 6,
+        in_specs=[_g1_spec(tile)] * 6 + list(extra_specs),
         out_specs=(_g1_spec(tile),) * 3,
         out_shape=(shp,) * 3,
         scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
+    return lambda *ins: call(*ins, *extras)
 
 
 @functools.cache
-def _g1_dbl_call(ntiles: int, tile: int):
-    emit = FqEmit(fq_spec())
+def _g1_dbl_call(ntiles: int, tile: int, mode: str = "v1"):
+    emit = _make_emit(fq_spec(), mode)
     L = emit.L
+    extras, extra_specs, bind = _fold_inputs(emit)
+    ne = len(extras)
 
-    def kernel(x1, y1, z1, ox, oy, oz, acc):
-        emit.acc = acc
-        rx, ry, rz = _jac_double(emit, (x1[:], y1[:], z1[:]))
-        ox[:], oy[:], oz[:] = rx, ry, rz
+    def kernel(*refs):
+        emit.acc = refs[-1]
+        bind(refs[3]) if ne else None
+        rx, ry, rz = _jac_double(emit, tuple(r[:] for r in refs[0:3]))
+        for oref, val in zip(refs[3 + ne : 6 + ne], (rx, ry, rz)):
+            oref[:] = val
 
     shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g1_spec(tile)] * 3,
+        in_specs=[_g1_spec(tile)] * 3 + list(extra_specs),
         out_specs=(_g1_spec(tile),) * 3,
         out_shape=(shp,) * 3,
         scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
+    return lambda *ins: call(*ins, *extras)
 
 
 @functools.cache
-def _g2_add_call(ntiles: int, tile: int, complete: bool):
-    emit = Fq2Emit(FqEmit(fq_spec()))
-    L = emit.fq.L
+def _g2_add_call(ntiles: int, tile: int, complete: bool, mode: str = "v1"):
+    inner = _make_emit(fq_spec(), mode)
+    emit = Fq2Emit(inner)
+    L = inner.L
+    extras, extra_specs, bind = _fold_inputs(inner)
+    ne = len(extras)
 
-    def kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz, acc):
-        emit.fq.acc = acc
-        p = tuple(_c2(c[:]) for c in (x1, y1, z1))
-        q = tuple(_c2(c[:]) for c in (x2, y2, z2))
+    def kernel(*refs):
+        inner.acc = refs[-1]
+        bind(refs[6]) if ne else None
+        p = tuple(_c2(r[:]) for r in refs[0:3])
+        q = tuple(_c2(r[:]) for r in refs[3:6])
         r = _jac_add(emit, p, q, complete)
-        for oref, val in zip((ox, oy, oz), r):
+        for oref, val in zip(refs[6 + ne : 9 + ne], r):
             oref[:] = jnp.stack(val, axis=0)
 
     shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g2_spec(tile)] * 6,
+        in_specs=[_g2_spec(tile)] * 6 + list(extra_specs),
         out_specs=(_g2_spec(tile),) * 3,
         out_shape=(shp,) * 3,
         scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
+    return lambda *ins: call(*ins, *extras)
 
 
 @functools.cache
-def _g2_dbl_call(ntiles: int, tile: int):
-    emit = Fq2Emit(FqEmit(fq_spec()))
-    L = emit.fq.L
+def _g2_dbl_call(ntiles: int, tile: int, mode: str = "v1"):
+    inner = _make_emit(fq_spec(), mode)
+    emit = Fq2Emit(inner)
+    L = inner.L
+    extras, extra_specs, bind = _fold_inputs(inner)
+    ne = len(extras)
 
-    def kernel(x1, y1, z1, ox, oy, oz, acc):
-        emit.fq.acc = acc
-        p = tuple(_c2(c[:]) for c in (x1, y1, z1))
+    def kernel(*refs):
+        inner.acc = refs[-1]
+        bind(refs[3]) if ne else None
+        p = tuple(_c2(r[:]) for r in refs[0:3])
         r = _jac_double(emit, p)
-        for oref, val in zip((ox, oy, oz), r):
+        for oref, val in zip(refs[3 + ne : 6 + ne], r):
             oref[:] = jnp.stack(val, axis=0)
 
     shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g2_spec(tile)] * 3,
+        in_specs=[_g2_spec(tile)] * 3 + list(extra_specs),
         out_specs=(_g2_spec(tile),) * 3,
         out_shape=(shp,) * 3,
         scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
+    return lambda *ins: call(*ins, *extras)
 
 
 def _pick_tile(n: int) -> int:
@@ -434,7 +510,7 @@ def g1_add_pallas(p, q, complete: bool = True):
         arr, _, tile = _to_kernel_layout(c, g2=False)
         ins.append(arr)
     ntiles = ins[0].shape[-1] // tile
-    outs = _g1_add_call(ntiles, tile, complete)(*ins)
+    outs = _g1_add_call(ntiles, tile, complete, _mul_mode())(*ins)
     return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
 
 
@@ -448,7 +524,7 @@ def g1_double_pallas(p):
         arr, _, tile = _to_kernel_layout(c.reshape(n, shape[-1]), g2=False)
         ins.append(arr)
     ntiles = ins[0].shape[-1] // tile
-    outs = _g1_dbl_call(ntiles, tile)(*ins)
+    outs = _g1_dbl_call(ntiles, tile, _mul_mode())(*ins)
     return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
 
 
@@ -465,7 +541,7 @@ def g2_add_pallas(p, q, complete: bool = True):
         arr, _, tile = _to_kernel_layout(c, g2=True)
         ins.append(arr)
     ntiles = ins[0].shape[-1] // tile
-    outs = _g2_add_call(ntiles, tile, complete)(*ins)
+    outs = _g2_add_call(ntiles, tile, complete, _mul_mode())(*ins)
     return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
 
 
@@ -479,7 +555,7 @@ def g2_double_pallas(p):
         arr, _, tile = _to_kernel_layout(c.reshape(n, 2, shape[-1]), g2=True)
         ins.append(arr)
     ntiles = ins[0].shape[-1] // tile
-    outs = _g2_dbl_call(ntiles, tile)(*ins)
+    outs = _g2_dbl_call(ntiles, tile, _mul_mode())(*ins)
     return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
 
 
@@ -489,25 +565,29 @@ def g2_double_pallas(p):
 
 
 @functools.cache
-def _mul_call(name: str, ntiles: int, tile: int):
+def _mul_call(name: str, ntiles: int, tile: int, mode: str = "v1"):
     spec = fq_spec() if name == "fq" else fr_spec()
-    emit = FqEmit(spec)
+    emit = _make_emit(spec, mode)
     L = emit.L
+    extras, extra_specs, bind = _fold_inputs(emit)
+    ne = len(extras)
 
-    def kernel(a, b, o, acc):
-        emit.acc = acc
-        o[:] = emit.mul(a[:], b[:])
+    def kernel(*refs):
+        emit.acc = refs[-1]
+        bind(refs[2]) if ne else None
+        refs[2 + ne][:] = emit.mul(refs[0][:], refs[1][:])
 
     bspec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[bspec, bspec],
+        in_specs=[bspec, bspec] + list(extra_specs),
         out_specs=bspec,
         out_shape=jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32),
         scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
+    return lambda *ins: call(*ins, *extras)
 
 
 def mont_mul_pallas(spec_name: str, a, b):
@@ -522,7 +602,7 @@ def mont_mul_pallas(spec_name: str, a, b):
     arr_a, _, tile = _to_kernel_layout(aa, g2=False)
     arr_b, _, _ = _to_kernel_layout(bb, g2=False)
     ntiles = arr_a.shape[-1] // tile
-    out = _mul_call(spec_name, ntiles, tile)(arr_a, arr_b)
+    out = _mul_call(spec_name, ntiles, tile, _mul_mode())(arr_a, arr_b)
     return _from_kernel_layout(out, n).reshape(shape)
 
 
@@ -583,64 +663,76 @@ def _jac_madd(f, acc, q, sign, active):
 
 
 @functools.cache
-def _g1_madd_call(ntiles: int, tile: int):
-    emit = FqEmit(fq_spec())
+def _g1_madd_call(ntiles: int, tile: int, mode: str = "v1"):
+    emit = _make_emit(fq_spec(), mode)
     L = emit.L
+    extras, extra_specs, bind = _fold_inputs(emit)
+    ne = len(extras)
     fspec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    def kernel(x1, y1, z1, x2, y2, flags, ox, oy, oz, oexc, acc):
-        emit.acc = acc
+    def kernel(*refs):
+        emit.acc = refs[-1]
+        bind(refs[6]) if ne else None
+        flags = refs[5]
         sign = flags[0] != 0
         active = flags[1] != 0
-        p = (x1[:], y1[:], z1[:])
-        q = (x2[:], y2[:])
+        p = tuple(r[:] for r in refs[0:3])
+        q = tuple(r[:] for r in refs[3:5])
         (rx, ry, rz), exc = _jac_madd(emit, p, q, sign, active)
+        ox, oy, oz, oexc = refs[6 + ne : 10 + ne]
         ox[:], oy[:], oz[:] = rx, ry, rz
         row = jnp.where(exc, jnp.uint32(1), jnp.uint32(0))
         oexc[:] = jnp.broadcast_to(row[None, :], (8, row.shape[0]))
 
     shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
     eshp = jax.ShapeDtypeStruct((8, ntiles * tile), jnp.uint32)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g1_spec(tile)] * 5 + [fspec],
+        in_specs=[_g1_spec(tile)] * 5 + [fspec] + list(extra_specs),
         out_specs=(_g1_spec(tile),) * 3 + (fspec,),
         out_shape=(shp,) * 3 + (eshp,),
         scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
+    return lambda *ins: call(*ins, *extras)
 
 
 @functools.cache
-def _g2_madd_call(ntiles: int, tile: int):
-    emit = Fq2Emit(FqEmit(fq_spec()))
-    L = emit.fq.L
+def _g2_madd_call(ntiles: int, tile: int, mode: str = "v1"):
+    inner = _make_emit(fq_spec(), mode)
+    emit = Fq2Emit(inner)
+    L = inner.L
+    extras, extra_specs, bind = _fold_inputs(inner)
+    ne = len(extras)
     fspec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    def kernel(x1, y1, z1, x2, y2, flags, ox, oy, oz, oexc, acc):
-        emit.fq.acc = acc
+    def kernel(*refs):
+        inner.acc = refs[-1]
+        bind(refs[6]) if ne else None
+        flags = refs[5]
         sign = flags[0] != 0
         active = flags[1] != 0
-        p = tuple(_c2(c[:]) for c in (x1, y1, z1))
-        q = tuple(_c2(c[:]) for c in (x2, y2))
+        p = tuple(_c2(r[:]) for r in refs[0:3])
+        q = tuple(_c2(r[:]) for r in refs[3:5])
         (rx, ry, rz), exc = _jac_madd(emit, p, q, sign, active)
-        for oref, val in zip((ox, oy, oz), (rx, ry, rz)):
+        for oref, val in zip(refs[6 + ne : 9 + ne], (rx, ry, rz)):
             oref[:] = jnp.stack(val, axis=0)
         row = jnp.where(exc, jnp.uint32(1), jnp.uint32(0))
-        oexc[:] = jnp.broadcast_to(row[None, :], (8, row.shape[0]))
+        refs[9 + ne][:] = jnp.broadcast_to(row[None, :], (8, row.shape[0]))
 
     shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
     eshp = jax.ShapeDtypeStruct((8, ntiles * tile), jnp.uint32)
-    return pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g2_spec(tile)] * 5 + [fspec],
+        in_specs=[_g2_spec(tile)] * 5 + [fspec] + list(extra_specs),
         out_specs=(_g2_spec(tile),) * 3 + (fspec,),
         out_shape=(shp,) * 3 + (eshp,),
         scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
+    return lambda *ins: call(*ins, *extras)
 
 
 def g1_madd_pallas(acc, q_affine, sign, active):
@@ -664,7 +756,7 @@ def g1_madd_pallas(acc, q_affine, sign, active):
     pad = ins[0].shape[-1] - b
     flags = jnp.pad(flags, ((0, 6), (0, pad)))
     ntiles = ins[0].shape[-1] // tile
-    ox, oy, oz, exc = _g1_madd_call(ntiles, tile)(*ins, flags)
+    ox, oy, oz, exc = _g1_madd_call(ntiles, tile, _mul_mode())(*ins, flags)
     out = tuple(_from_kernel_layout(o, b) for o in (ox, oy, oz))
     return out, exc[0, :b]
 
@@ -689,6 +781,6 @@ def g2_madd_pallas(acc, q_affine, sign, active):
     pad = ins[0].shape[-1] - b
     flags = jnp.pad(flags, ((0, 6), (0, pad)))
     ntiles = ins[0].shape[-1] // tile
-    ox, oy, oz, exc = _g2_madd_call(ntiles, tile)(*ins, flags)
+    ox, oy, oz, exc = _g2_madd_call(ntiles, tile, _mul_mode())(*ins, flags)
     out = tuple(_from_kernel_layout(o, b) for o in (ox, oy, oz))
     return out, exc[0, :b]

@@ -209,21 +209,33 @@ def vote_with_context(
         from ..circuit import witness_dev as wd
         from ..params import fr_spec
         from ..ops import limbs as lb
+        from ..protocol.groth16 import _trace
+        import time as _time
 
+        t0 = _time.time()
         w_mont = wd.generate_witness_device(
             circ, np.array(votes), eid, sks, np.array(voter_indices), sib
         )
+        t0 = _trace("witness gen", t0)
         proofs, w_std = groth16.prove_device(pk, w_mont, rng)
+        t0 = _trace("prove_device total", t0)
         prim = lb.limbs_to_ints(
             w_std[:, 1 : 1 + circ.cs.num_primary], fr_spec()
         )
+        t0 = _trace("primary limbs->ints", t0)
 
+    import time as _time
+    from ..protocol.groth16 import _trace as _tr
+
+    t0 = _time.time()
     out = []
     m_fields = [[int(x) for x in prim[i, :MSG_SIZE]] for i in range(B)]
     cts0 = saver.encrypt_many(spk, vk, m_fields, [rng() for _ in range(B)])
+    t0 = _tr("saver encrypt", t0)
     rerand = saver.rerandomize_many(
         spk, pk.delta_g2, cts0, proofs, [[rng() for _ in range(3)] for _ in range(B)]
     )
+    t0 = _tr("saver rerandomize", t0)
     for i in range(B):
         ct, proof = rerand[i]
         pinput = [int(x) for x in prim[i]]
