@@ -20,6 +20,11 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the axon TPU plugin ignores JAX_PLATFORMS; the config update sticks
     jax.config.update("jax_platforms", "cpu")
 
+_cache = pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"
+_cache.mkdir(exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+
 import numpy as np
 
 

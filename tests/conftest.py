@@ -25,9 +25,28 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def election():
-    """One full depth-2 election (3 voters), shared by every e2e-ish test."""
+    """One full depth-2 election (3 voters), shared by every e2e-ish test.
+
+    The artifacts are deterministic (seeded FrRandom) and ~2 min to build on
+    the 2-core rig, so they are cached on disk across pytest sessions — the
+    same write-once artifact contract as the reference CLI
+    (/root/reference/bin/cli/src/main.cpp:362-366,472-489).  Delete
+    tests/.election_cache (or set VSTPU_TEST_CACHE=0) after changing any
+    phase/marshal/prover code the blobs depend on; e2e tests re-derive and
+    verify everything from the blobs, so a stale cache fails loudly.
+    """
+    import pathlib
+    import pickle
+
     from vote_saver_tpu.protocol import phases
     from vote_saver_tpu.utils.rng import FrRandom
+
+    cache = pathlib.Path(__file__).parent / ".election_cache" / "d2_v3.pkl"
+    use_cache = os.environ.get("VSTPU_TEST_CACHE", "1") == "1"
+    if use_cache and cache.exists():
+        e = pickle.loads(cache.read_bytes())
+        e["rng"] = FrRandom(0xE1EC8)
+        return e
 
     rng = FrRandom(0xE1EC7)
     voters = [phases.init_voter_phase(i, rng) for i in range(3)]
@@ -41,8 +60,13 @@ def election():
         2, 64, [0, 1, 2], votes, tree_blob, rt_blob, eid_blob,
         [v[1] for v in voters], pk_eid, pk_crs, vk_crs, rng,
     )
-    return dict(
-        rng=rng, voters=voters, votes=votes, ballots=ballots,
+    e = dict(
+        voters=voters, votes=votes, ballots=ballots,
         pk_crs=pk_crs, vk_crs=vk_crs, pk_eid=pk_eid, sk_eid=sk_eid,
         vk_eid=vk_eid, eid=eid_blob, rt=rt_blob, tree=tree_blob,
     )
+    if use_cache:
+        cache.parent.mkdir(exist_ok=True)
+        cache.write_bytes(pickle.dumps(e))
+    e["rng"] = rng
+    return e

@@ -135,3 +135,97 @@ def test_vi_worked_offsets_match_reference_shape(election):
     assert sec.sn_begin - sec.eid_begin == 64 * 32  # 2048
     assert sec.rt_begin - sec.sn_begin == 255 * 32  # 8160
     assert len(vi) - sec.rt_begin == 255 * 32
+
+
+def test_commit_requires_strict_eid_gt_ct_end(election, chain):
+    """voting_voter.sol:91 requires eid_begin > ct_end STRICTLY (code 210);
+    build_vi provides the pad byte that makes its own blobs acceptable."""
+    admin, voters = chain
+    vi, sec = _make_vi(election, 2)
+    assert sec.eid_begin == sec.ct_end + 1  # the pad byte
+    assert vi[sec.ct_end] == 0
+    voters[2].reset_ballot("voter2_key")
+    voters[2].update_ballot("voter2_key", vi)
+    with pytest.raises(ChainError) as e:
+        voters[2].commit_ballot("voter2_key", sec.proof_end, sec.ct_begin,
+                                sec.ct_end, sec.ct_end, sec.sn_begin,
+                                sec.rt_begin)
+    assert e.value.code == 210
+
+
+def test_vi_mode_plain_primary_input(election):
+    """Mode byte 0x00: plain primary input VERGRTH16 (README.md:129-135).
+
+    Groth16 rerandomization preserves e(A,B)/e(C,delta), so a ballot's proof
+    still verifies PLAIN against the true primary input [m|eid|sn|rt] — the
+    mode-0x00 path is the ordinary-verify leg of the TVM builtin."""
+    proof_b, pinput_b, _ct_b, _ = election["ballots"][0]
+    pinput = M.de_scalar_vector(pinput_b)
+    eid_bits = M.unpack_field_elements_to_bits(pinput[:1], 64)
+    sn_bits = M.unpack_field_elements_to_bits(pinput[1:3], 255)
+    rt_bits = M.unpack_field_elements_to_bits(pinput[3:5], 255)
+    m_field = [1 if i == election["votes"][0] else 0 for i in range(25)]
+    vi, sec = bb.build_vi_plain(
+        proof_b, election["vk_crs"], m_field, eid_bits, sn_bits, rt_bits
+    )
+    assert vi[0] == 0x00
+    assert bb.vergrth16(vi, sec) is True
+    # wrong vote slot -> reject
+    bad_m = [1 if i == (election["votes"][0] + 1) % 25 else 0 for i in range(25)]
+    vi2, sec2 = bb.build_vi_plain(
+        proof_b, election["vk_crs"], bad_m, eid_bits, sn_bits, rt_bits
+    )
+    assert bb.vergrth16(vi2, sec2) is False
+
+
+def test_voting_result_chain_format():
+    """wrapper.js:277-282: 4-byte prefix + 25x32 BE counts = 804 bytes."""
+    counts = list(range(25))
+    blob = M.ser_scalar_vector_chain(counts)
+    assert len(blob) == 804
+    assert M.de_scalar_vector_any(blob) == counts
+    # 8-byte CLI format still round-trips through the same parser
+    blob8 = M.ser_scalar_vector(counts)
+    assert len(blob8) == 808
+    assert M.de_scalar_vector_any(blob8) == counts
+
+
+def test_tonos_emitter_command_stream(election):
+    """The L5 notebook's tonos-cli stream (protocol_exec.ipynb cells 7-35)."""
+    from vote_saver_tpu.chain import tonos
+
+    em = tonos.TonosEmitter("0:adminaddr")
+    em.deploy_admin()
+    em.upload_crs(election["pk_crs"], election["vk_crs"])
+    vi, sec = _make_vi(election, 0)
+    em.init_session(vi[sec.eid_begin:sec.sn_begin], election["pk_eid"],
+                    election["vk_eid"], election["rt"], ["0:v0"])
+    em.upload_ballot("0:v0", "keys/v0.keys.json", vi, sec)
+    lines = em.lines()
+    # every call respects the 30000-hex-char message cap (notebook cell 7)
+    import re
+
+    for ln in lines:
+        for m in re.finditer(r'"[0-9a-f]+"', ln):
+            assert len(m.group(0)) - 2 <= tonos.HEX_CHUNK_CHARS
+    n_vi_chunks = -(-len(vi) // tonos.CHUNK_BYTES)
+    assert sum("update_ballot" in ln for ln in lines) == n_vi_chunks
+    assert any("commit_ballot" in ln and f'"rt_begin":{sec.rt_begin}' in ln
+               for ln in lines)
+    assert em.script().startswith("#!/bin/sh")
+
+
+def test_tonos_abi_artifacts(tmp_path):
+    from vote_saver_tpu.chain import tonos
+
+    paths = tonos.write_artifacts(tmp_path)
+    import json
+
+    for p in paths:
+        doc = json.loads(open(p).read())
+        assert doc["ABI version"] == 2
+        names = {f["name"] for f in doc["functions"]}
+        if "admin" in p:
+            assert {"update_crs_pk", "check_ballot", "commit_tally"} <= names
+        else:
+            assert {"update_ballot", "commit_ballot", "get_vi_len"} <= names

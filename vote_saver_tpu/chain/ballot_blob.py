@@ -17,6 +17,15 @@ the TVM builtin (reference README.md:129-135, voting_voter.sol:94).  vk_eid
 rides alongside pk_eid because this framework's ct well-formedness check
 (saver.verify_encryption, docs/SAVER_SPEC.md) pairs against V/Z points that
 live in the verification key rather than the public key.
+
+One 0x00 pad byte sits between ct_end and eid_begin: the reference contract
+enforces `eid_begin > ct_end` STRICTLY (voting_voter.sol:91, require 210)
+while its getters slice exclusive-end (`vi[ct_begin:ct_end]`,
+voting_voter.sol:121-123), so a contract-acceptable blob needs at least one
+byte of slack after the ct section.  Mode 0x00 (plain primary input,
+README.md:129-135) is supported via build_vi_plain/vergrth16: the ct section
+slot instead carries the serialized public message block and the proof is
+checked as ordinary Groth16 over the full primary input.
 """
 
 from __future__ import annotations
@@ -26,6 +35,7 @@ import dataclasses
 from ..params import DEFAULT_EID_BITS, DIGEST_BITS, MSG_SIZE
 from ..protocol import marshal as M
 
+MODE_PLAIN_INPUT = 0x00
 MODE_ENCRYPTED_INPUT = 0x01
 
 
@@ -71,15 +81,47 @@ def build_vi(
         vk_eid_blob, ct_blob,
     ]
     off = sum(len(p) for p in parts)
+    # pad byte: the contract requires eid_begin > ct_end strictly
+    # (voting_voter.sol:91) while slicing ct exclusive-end (sol:121-123)
     sec = BallotSections(
         proof_end=1 + 192,
         ct_begin=off - len(ct_blob),
         ct_end=off,
-        eid_begin=off,
-        sn_begin=off + 32 * len(eid_bits),
-        rt_begin=off + 32 * (len(eid_bits) + len(sn_bits)),
+        eid_begin=off + 1,
+        sn_begin=off + 1 + 32 * len(eid_bits),
+        rt_begin=off + 1 + 32 * (len(eid_bits) + len(sn_bits)),
     )
-    parts += [_expand_bits(eid_bits), _expand_bits(sn_bits), _expand_bits(rt_bits)]
+    parts += [b"\x00", _expand_bits(eid_bits), _expand_bits(sn_bits), _expand_bits(rt_bits)]
+    return b"".join(parts), sec
+
+
+def build_vi_plain(
+    proof_blob: bytes,
+    vk_crs_blob: bytes,
+    m_field: list[int],
+    eid_bits: list[int],
+    sn_bits: list[int],
+    rt_bits: list[int],
+) -> tuple[bytes, BallotSections]:
+    """Mode-0x00 blob: plain (unencrypted) primary input (README.md:129-135).
+
+    The ct section slot carries the serialized public message block (the
+    first msg_size primary-input scalars) instead of an ElGamal ciphertext;
+    the trailing eid/sn/rt sections are bit-expanded exactly as in mode 0x01.
+    """
+    assert len(proof_blob) == 192
+    m_blob = M.ser_scalar_vector(m_field)
+    parts = [bytes([MODE_PLAIN_INPUT]), proof_blob, vk_crs_blob, m_blob]
+    off = sum(len(p) for p in parts)
+    sec = BallotSections(
+        proof_end=1 + 192,
+        ct_begin=off - len(m_blob),
+        ct_end=off,
+        eid_begin=off + 1,
+        sn_begin=off + 1 + 32 * len(eid_bits),
+        rt_begin=off + 1 + 32 * (len(eid_bits) + len(sn_bits)),
+    )
+    parts += [b"\x00", _expand_bits(eid_bits), _expand_bits(sn_bits), _expand_bits(rt_bits)]
     return b"".join(parts), sec
 
 
@@ -98,11 +140,14 @@ def split_vi(vi: bytes, sec: BallotSections):
 
 def vergrth16(vi: bytes, sec: BallotSections, eid_bits_len: int = DEFAULT_EID_BITS) -> bool:
     """The TVM builtin's off-chain equivalent (voting_voter.sol:94): verify
-    the Groth16 proof with encrypted primary input carried inside vi."""
+    the Groth16 proof with the mode byte selecting plain (0x00) vs
+    ElGamal-encrypted (0x01) primary input (README.md:129-135)."""
     from ..protocol import saver
 
     try:
         s = split_vi(vi, sec)
+        if s["mode"] == MODE_PLAIN_INPUT:
+            return _vergrth16_plain(s)
         if s["mode"] != MODE_ENCRYPTED_INPUT:
             return False
         proof = M.de_proof(s["proof"])
@@ -124,6 +169,25 @@ def vergrth16(vi: bytes, sec: BallotSections, eid_bits_len: int = DEFAULT_EID_BI
         return saver.verify_encryption(vk, svk, ct, proof, rest)
     except (AssertionError, IndexError, ValueError, KeyError):
         return False
+
+
+def _vergrth16_plain(s: dict) -> bool:
+    """Mode 0x00: ordinary Groth16 verification over the plain primary input
+    [m ‖ packed eid ‖ packed sn ‖ packed rt] (reference README.md:133-134)."""
+    from ..protocol import groth16
+
+    proof = M.de_proof(s["proof"])
+    vk, off = _de_vk_prefix(s["middle"])
+    if off != len(s["middle"]):
+        return False
+    m_field = M.de_scalar_vector(s["ct"])
+    primary = (
+        m_field
+        + M.pack_bits_to_field_elements(_collapse_bits(s["eid"]))
+        + M.pack_bits_to_field_elements(_collapse_bits(s["sn"]))
+        + M.pack_bits_to_field_elements(_collapse_bits(s["rt"]))
+    )
+    return groth16.verify(vk, primary, proof)
 
 
 def _de_vk_prefix(blob: bytes):

@@ -262,7 +262,7 @@ class SaverVoter:
         require(len(self.m_vi) > rt_begin, 207)
         require(rt_begin > sn_begin, 208)
         require(sn_begin > eid_begin, 209)
-        require(eid_begin >= ct_end, 210)
+        require(eid_begin > ct_end, 210)  # STRICT, voting_voter.sol:91
         require(ct_end > ct_begin, 211)
         require(ct_begin > proof_end, 212)
         sec = ballot_blob.BallotSections(proof_end, ct_begin, ct_end, eid_begin, sn_begin, rt_begin)

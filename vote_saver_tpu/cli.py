@@ -141,7 +141,7 @@ def cmd_tally_admin(wd: Workdir, args, rng):
     )
     wd.write("decryption_proof", dec_proof)
     wd.write("voting_result", voting_res)
-    counts = M.de_scalar_vector(voting_res)
+    counts = M.de_scalar_vector_any(voting_res)
     log("Deciphered results of voting:")
     log(", ".join(str(c) for c in counts))
 
@@ -153,7 +153,7 @@ def cmd_tally_voter(wd: Workdir, args, rng):
         wd.read("r1cs_proving_key"), wd.read("r1cs_verification_key"),
         wd.read("voting_result"), wd.read("decryption_proof"),
     )
-    counts = M.de_scalar_vector(wd.read("voting_result"))
+    counts = M.de_scalar_vector_any(wd.read("voting_result"))
     log("Results of voting:")
     log(", ".join(str(c) for c in counts))
     log(f"verification: {'true' if ok else 'false'}")

@@ -61,6 +61,26 @@ def de_scalar_vector(blob: bytes) -> list[int]:
     return [de_fr(blob[SIZE_T + i * FR_SIZE : SIZE_T + (i + 1) * FR_SIZE]) for i in range(n)]
 
 
+def ser_scalar_vector_chain(xs) -> bytes:
+    """Chain-facing variant: 4-byte BE count prefix (the 804-byte
+    voting_result layout of reference wrapper.js:277-282: 4 + 25*32)."""
+    out = struct.pack(">I", len(xs))
+    for x in xs:
+        out += ser_fr(int(x))
+    return out
+
+
+def de_scalar_vector_any(blob: bytes) -> list[int]:
+    """Accept either prefix width (8-byte CLI format, 4-byte chain format) —
+    the reference carries both (notebook cell 0 vs wrapper.js:277-282)."""
+    rem = len(blob) % FR_SIZE
+    if rem == 4:
+        (n,) = struct.unpack(">I", blob[:4])
+        assert len(blob) == 4 + n * FR_SIZE, "bad scalar vector blob"
+        return [de_fr(blob[4 + i * FR_SIZE : 4 + (i + 1) * FR_SIZE]) for i in range(n)]
+    return de_scalar_vector(blob)
+
+
 # ---------------------------------------------------------------------------
 # bit arrays (big-octet-big-bit: bit j -> byte j//8, bit position 7-(j%8))
 # ---------------------------------------------------------------------------

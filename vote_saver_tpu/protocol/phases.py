@@ -327,7 +327,7 @@ def tally_voter_phase(
     assert len(cts_blobs) <= (1 << tree_depth)
     svk = M.de_saver_vk(vk_eid_blob)
     vk = M.de_groth16_vk(vk_crs_blob)
-    counts = M.de_scalar_vector(voting_res_blob)
+    counts = M.de_scalar_vector_any(voting_res_blob)
     dproof = M.de_dec_proof(dec_proof_blob)
     cts = [M.de_ct(b) for b in cts_blobs]
     ct_agg = cts[0]

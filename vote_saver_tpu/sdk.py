@@ -120,4 +120,4 @@ def verify_tally(keys: AdminKeys, cts: list[bytes], voting_res: bytes,
 
 def decode_result(voting_res: bytes) -> list[int]:
     """voting_res blob -> per-candidate counts (wrapper.js:277-282 analog)."""
-    return M.de_scalar_vector(voting_res)
+    return M.de_scalar_vector_any(voting_res)
