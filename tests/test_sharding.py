@@ -80,3 +80,26 @@ def test_sharded_scheduled_msm_matches_host(mesh):
     got = co.g1_from_device(tuple(c[0] for c in res))
     assert got[0] == rj.msm_host(pts, ks)
     assert int(np.asarray(excn)) == 0
+
+
+@pytest.mark.slow
+def test_sharded_prover_matches_unsharded(mesh, election):
+    """vote_with_context with a mesh: the five prover MSMs run point-sharded
+    (groth16._prove_msms_sharded) and the ballots must be byte-identical to
+    the unsharded path under the same seeded rng (round-2 VERDICT item 4:
+    the mesh wired into the prover itself, not only detached kernels)."""
+    from vote_saver_tpu.protocol import phases
+    from vote_saver_tpu.utils.rng import FrRandom
+
+    ctx = phases.prepare_vote_context(
+        2, 64, election["tree"], election["rt"], election["eid"],
+        election["pk_eid"], election["pk_crs"], election["vk_crs"],
+    )
+    idxs, votes = [0, 1], [1, 2]
+    sks = [election["voters"][i][1] for i in idxs]
+    plain = phases.vote_with_context(ctx, idxs, votes, sks, FrRandom(0xF00))
+    with mesh:
+        shard = phases.vote_with_context(
+            ctx, idxs, votes, sks, FrRandom(0xF00), mesh=mesh
+        )
+    assert plain == shard

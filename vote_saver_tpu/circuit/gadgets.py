@@ -9,6 +9,8 @@ but the constraint encodings are this repo's own (documented per gadget).
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..params import (
@@ -87,7 +89,8 @@ class Packing:
             wit.set(pv, acc)
 
 
-def _window_constants(num_windows: int):
+@functools.lru_cache(maxsize=None)
+def _window_constants_cached(num_windows: int):
     """Per window: affine coords of (1+u) * 2^(4*local) * I_seg for u = 0..3."""
     from ..refimpl import pedersen as pd
     from ..refimpl import curves as rc
@@ -103,6 +106,13 @@ def _window_constants(num_windows: int):
             p = rc.jj_add(p, base)
         consts.append(row)
     return consts
+
+
+def _window_constants(num_windows: int):
+    """Cached window constants; rounded up to 64-window blocks so gadgets of
+    different widths share one prefix computation."""
+    n = (num_windows + 63) // 64 * 64
+    return _window_constants_cached(n)[:num_windows]
 
 
 class EdwardsAdd:

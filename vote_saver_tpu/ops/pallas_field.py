@@ -3,11 +3,17 @@
 The XLA path in :mod:`field_ops` expresses one Montgomery multiply as ~10
 separate HLO ops plus an L-step ``lax.scan`` — the scan serialises the VPU and
 every op round-trips HBM.  Here a whole curve-group operation (16+ field muls)
-runs inside ONE Pallas kernel: operands live in VMEM in a transposed
-``(limbs, batch)`` layout (limbs on sublanes, batch on lanes — full 128-lane
-occupancy), every limb loop is fully unrolled with static offsets, and carries
-are lazy: limb products are split into 16-bit lo/hi halves accumulated into
-< 2^24 column sums, with a single ripple pass per field op.
+runs inside ONE Pallas kernel.
+
+Layout (v2): the batch is a 2-D ``(S, T)`` tile — S sublanes x T lanes — so
+every per-limb vector op runs at full (8, 128) vreg density.  (The v1 kernels
+kept the batch 1-D on the lane axis only, leaving 7/8 of each vreg empty and
+accumulating through a VMEM scratch ref with sublane-unaligned slice
+read-modify-writes; measured 41 M fq-mul/s on a v5e.  The value-resident
+accumulator below is a Python list of (S, T) vregs — no scratch traffic, no
+unaligned sublane ops.)  Limbs are unrolled with static offsets; carries are
+lazy: 16-bit limb products accumulate into < 2^23 column sums with one ripple
+pass per field op.
 
 Replaces the hot ops behind the reference's single-threaded multiexp
 (reference: bin/cli/include/nil/vote_saver/common.hpp:916,1132 and the
@@ -32,7 +38,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import FieldSpec, fq_spec, fr_spec
 
-LANE_TILE = 512  # batch lanes per kernel instance (4 lane-tiles of 128)
+
+def _tile_s() -> int:
+    # off-TPU (interpret mode) a 1-sublane tile keeps small test batches from
+    # padding to 1024 elements; on hardware 8 sublanes = full vreg density
+    return int(os.environ.get("VSTPU_TILE_S", "8" if not _interpret() else "1"))
+
+
+def _tile_t() -> int:
+    return int(os.environ.get("VSTPU_TILE_T", "128"))
 
 
 def _interpret() -> bool:
@@ -43,15 +57,16 @@ def _interpret() -> bool:
 
 
 # ---------------------------------------------------------------------------
-# In-kernel emitters: ops on (L, B) uint32 values, 16-bit limbs, unrolled.
+# In-kernel emitters: ops on (L, S, T) uint32 values, 16-bit limbs, unrolled.
 # ---------------------------------------------------------------------------
 
 
 class FqEmit:
-    """Emits unrolled Montgomery arithmetic on (L, B) values inside a kernel.
+    """Emits unrolled Montgomery arithmetic on (L, S, T) values in a kernel.
 
     Element values are canonical ([0, N)) at op boundaries; within one multiply
-    the column accumulator is lazy (sums < 2^24 in uint32).
+    the column accumulator is lazy (sums < 2^23 in uint32) and lives entirely
+    in vregs (a Python list of (S, T) values).
     """
 
     def __init__(self, spec: FieldSpec):
@@ -63,17 +78,10 @@ class FqEmit:
         self.n_ints = [int(v) for v in spec.to_limbs(spec.modulus)]
         self.one_ints = [int(v) for v in spec.to_limbs(spec.to_mont(1))]
 
-    def _const_rows(self, ints, ncols):
-        """Constant (L, B) matrix built from scalars (pallas kernels cannot
-        capture non-scalar constants, so materialise via broadcasts)."""
-        return jnp.stack(
-            [jnp.full((ncols,), v, jnp.uint32) for v in ints], axis=0
-        )
-
     # -- helpers ------------------------------------------------------------
 
     def _ripple(self, rows):
-        """List of L (B,) lazy columns (< 2^24) -> list of L canonical limbs.
+        """List of L (S, T) lazy columns (< 2^23) -> list of L canonical limbs.
         Any final carry is dropped (callers guarantee value < 2^(16L))."""
         out = []
         c = jnp.zeros_like(rows[0])
@@ -105,29 +113,29 @@ class FqEmit:
     # -- field ops ----------------------------------------------------------
 
     def mul(self, a, b):
-        """Montgomery product on (L, B) canonical values.
-
-        The 2L-column lazy accumulator lives in a VMEM scratch ref
-        (``self.acc``, set by the kernel) — Mosaic supports read/store on
-        static ref slices but not dynamic_update_slice on values.
-        """
+        """Montgomery product on (L, S, T) canonical values (CIOS, lazy)."""
         L, mask = self.L, self.mask
-        acc = self.acc  # VMEM ref, shape (2L, B)
-        acc[:] = jnp.zeros((2 * L, a.shape[1]), jnp.uint32)
-        # product phase: column k accumulates sum_{i+j=k} a_i*b_j (lazy)
+        ar = self._rows(a)
+        br = self._rows(b)
+        zero = jnp.zeros_like(ar[0])
+        acc = [zero] * (2 * L)
+        # product phase: column c accumulates sum_{i+j=c} a_i*b_j (lazy)
         for i in range(L):
-            p = a[i][None, :] * b  # exact: 16x16-bit products in uint32
-            acc[i : i + L] = acc[i : i + L] + (p & mask)
-            acc[i + 1 : i + L + 1] = acc[i + 1 : i + L + 1] + (p >> 16)
-        # Montgomery reduction: L unrolled steps, static offsets (no roll/scan)
-        n = self._const_rows(self.n_ints, a.shape[1])
+            ai = ar[i]
+            for j in range(L):
+                p = ai * br[j]  # exact: 16x16-bit products in uint32
+                acc[i + j] = acc[i + j] + (p & mask)
+                acc[i + j + 1] = acc[i + j + 1] + (p >> 16)
+        # Montgomery reduction: L unrolled steps, static offsets
+        n = [np.uint32(v) for v in self.n_ints]
         for r in range(L):
             m = (acc[r] * self.n0inv) & mask
-            p = m[None, :] * n
-            acc[r : r + L] = acc[r : r + L] + (p & mask)
-            acc[r + 1 : r + L + 1] = acc[r + 1 : r + L + 1] + (p >> 16)
+            for k in range(L):
+                p = m * n[k]
+                acc[r + k] = acc[r + k] + (p & mask)
+                acc[r + k + 1] = acc[r + k + 1] + (p >> 16)
             acc[r + 1] = acc[r + 1] + (acc[r] >> 16)
-        rows = self._ripple([acc[L + k] for k in range(L)])
+        rows = self._ripple(acc[L : 2 * L])
         return self._stack(self._csub_n(rows))
 
     def sq(self, a):
@@ -135,7 +143,7 @@ class FqEmit:
 
     def add(self, a, b):
         s = a + b
-        rows = self._ripple([s[k] for k in range(self.L)])
+        rows = self._ripple(self._rows(s))
         return self._stack(self._csub_n(rows))
 
     def dbl(self, a):
@@ -164,14 +172,16 @@ class FqEmit:
         return z
 
     def select(self, cond, a, b):
-        """cond: (B,) bool -> where(cond, a, b) on (L, B) values."""
-        return jnp.where(cond[None, :], a, b)
+        """cond: (S, T) bool -> where(cond, a, b) on (L, S, T) values."""
+        return jnp.where(cond[None], a, b)
 
     def zero_like(self, a):
         return jnp.zeros_like(a)
 
     def one_like(self, a):
-        return self._const_rows(self.one_ints, a.shape[1])
+        return jnp.stack(
+            [jnp.full(a.shape[1:], v, jnp.uint32) for v in self.one_ints]
+        )
 
 
 class FqEmitFold(FqEmit):
@@ -190,6 +200,15 @@ class FqEmitFold(FqEmit):
         self.plan = fm.plan(spec)
         self.fold = None  # (nbytes, rows) bf16, set by the kernel body
 
+    def _digits(self, x):
+        """(L, S, T) u32 16-bit limbs -> nd (S, T) f32 8-bit digits."""
+        out = []
+        for k in range(self.plan["nd"]):
+            limb = x[k // 2]
+            d = (limb >> (8 * (k % 2))) & np.uint32(255)
+            out.append(d.astype(jnp.int32).astype(jnp.float32))
+        return out
+
     def _mul_cols(self, cols):
         fm = self._fm
         rows = fm.fold_columns(self.plan, cols, self.fold)
@@ -197,14 +216,12 @@ class FqEmitFold(FqEmit):
 
     def mul(self, a, b):
         fm = self._fm
-        da = fm.digit_rows(self.plan, a)
-        db = fm.digit_rows(self.plan, b)
-        return self._mul_cols(fm.product_columns(self.plan, da, db))
+        return self._mul_cols(
+            fm.product_columns(self.plan, self._digits(a), self._digits(b))
+        )
 
     def sq(self, a):
-        fm = self._fm
-        da = fm.digit_rows(self.plan, a)
-        return self._mul_cols(fm.square_columns(self.plan, da))
+        return self._mul_cols(self._fm.square_columns(self.plan, self._digits(a)))
 
 
 def _mul_mode() -> str:
@@ -231,7 +248,7 @@ def _fold_inputs(emit):
 
 
 class Fq2Emit:
-    """Fq2 = Fq[u]/(u^2+1) on pairs (c0, c1) of (L, B) values (Karatsuba)."""
+    """Fq2 = Fq[u]/(u^2+1) on pairs (c0, c1) of (L, S, T) values (Karatsuba)."""
 
     def __init__(self, fq: FqEmit):
         self.fq = fq
@@ -268,7 +285,7 @@ class Fq2Emit:
         return (self.fq.zero_like(a[0]), self.fq.zero_like(a[1]))
 
     def one_like(self, a):
-        return (self.fq.one_like(a[0]), self.fq.zero_like(a[1]))
+        return (self.fq.one_like(a[0]), self.fq.zero_like(a[0]))
 
 
 # ---------------------------------------------------------------------------
@@ -336,33 +353,68 @@ def _jac_add(f, p, q, complete: bool):
 # ---------------------------------------------------------------------------
 # pallas_call wrappers.  I/O uses the framework layout:
 #   G1 coord: (B, L) uint32;  G2 coord: (B, 2, L) uint32.
-# Kernels see transposed (L, B) / (2, L, B) blocks, tiled over the batch.
+# Kernels see (L, S, T) / (2, L, S, T) blocks; the batch tiles over the grid
+# on the sublane axis ((S, T) = full-density vregs).
 # ---------------------------------------------------------------------------
 
 
-def _g1_spec(tile):
+def _g1_spec(s, t):
     L = fq_spec().num_limbs
-    return pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((L, s, t), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
 
 
-def _g2_spec(tile):
+def _g2_spec(s, t):
     L = fq_spec().num_limbs
-    return pl.BlockSpec((2, L, tile), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    return pl.BlockSpec(
+        (2, L, s, t), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM
+    )
 
 
-def _c2(x):  # (2, L, B) -> ((L,B), (L,B))
+def _flag_spec(s, t):
+    return pl.BlockSpec((2, s, t), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+
+
+def _exc_spec(s, t):
+    return pl.BlockSpec((s, t), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+
+def _c2(x):  # (2, L, S, T) -> ((L,S,T), (L,S,T))
     return (x[0], x[1])
 
 
+def _geom(b: int):
+    """(S, T, ntiles) covering a batch of b elements."""
+    s, t = _tile_s(), _tile_t()
+    per = s * t
+    ntiles = max(1, -(-b // per))
+    return s, t, ntiles
+
+
+def _to_kernel_layout(coord, s, t, ntiles, g2: bool):
+    """(B, L) -> (L, ntiles*S, T) or (B, 2, L) -> (2, L, ntiles*S, T)."""
+    b = coord.shape[0]
+    pad = ntiles * s * t - b
+    x = jnp.moveaxis(coord, 0, -1)  # (L, B) / (2, L, B)
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    if pad:
+        x = jnp.pad(x, widths)
+    return x.reshape(*x.shape[:-1], ntiles * s, t)
+
+
+def _from_kernel_layout(arr, b: int):
+    """(L, S_tot, T) -> (B, L)   (or (2, L, S_tot, T) -> (B, 2, L))."""
+    x = arr.reshape(*arr.shape[:-2], -1)[..., :b]
+    return jnp.moveaxis(x, -1, 0)
+
+
 @functools.cache
-def _g1_add_call(ntiles: int, tile: int, complete: bool, mode: str = "v1"):
+def _g1_add_call(ntiles: int, s: int, t: int, complete: bool, mode: str = "v1"):
     emit = _make_emit(fq_spec(), mode)
     L = emit.L
     extras, extra_specs, bind = _fold_inputs(emit)
     ne = len(extras)
 
     def kernel(*refs):
-        emit.acc = refs[-1]
         bind(refs[6]) if ne else None
         p = tuple(r[:] for r in refs[0:3])
         q = tuple(r[:] for r in refs[3:6])
@@ -370,48 +422,45 @@ def _g1_add_call(ntiles: int, tile: int, complete: bool, mode: str = "v1"):
         for oref, val in zip(refs[6 + ne : 9 + ne], (rx, ry, rz)):
             oref[:] = val
 
-    shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((L, ntiles * s, t), jnp.uint32)
     call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g1_spec(tile)] * 6 + list(extra_specs),
-        out_specs=(_g1_spec(tile),) * 3,
+        in_specs=[_g1_spec(s, t)] * 6 + list(extra_specs),
+        out_specs=(_g1_spec(s, t),) * 3,
         out_shape=(shp,) * 3,
-        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
     return lambda *ins: call(*ins, *extras)
 
 
 @functools.cache
-def _g1_dbl_call(ntiles: int, tile: int, mode: str = "v1"):
+def _g1_dbl_call(ntiles: int, s: int, t: int, mode: str = "v1"):
     emit = _make_emit(fq_spec(), mode)
     L = emit.L
     extras, extra_specs, bind = _fold_inputs(emit)
     ne = len(extras)
 
     def kernel(*refs):
-        emit.acc = refs[-1]
         bind(refs[3]) if ne else None
         rx, ry, rz = _jac_double(emit, tuple(r[:] for r in refs[0:3]))
         for oref, val in zip(refs[3 + ne : 6 + ne], (rx, ry, rz)):
             oref[:] = val
 
-    shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((L, ntiles * s, t), jnp.uint32)
     call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g1_spec(tile)] * 3 + list(extra_specs),
-        out_specs=(_g1_spec(tile),) * 3,
+        in_specs=[_g1_spec(s, t)] * 3 + list(extra_specs),
+        out_specs=(_g1_spec(s, t),) * 3,
         out_shape=(shp,) * 3,
-        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
     return lambda *ins: call(*ins, *extras)
 
 
 @functools.cache
-def _g2_add_call(ntiles: int, tile: int, complete: bool, mode: str = "v1"):
+def _g2_add_call(ntiles: int, s: int, t: int, complete: bool, mode: str = "v1"):
     inner = _make_emit(fq_spec(), mode)
     emit = Fq2Emit(inner)
     L = inner.L
@@ -419,7 +468,6 @@ def _g2_add_call(ntiles: int, tile: int, complete: bool, mode: str = "v1"):
     ne = len(extras)
 
     def kernel(*refs):
-        inner.acc = refs[-1]
         bind(refs[6]) if ne else None
         p = tuple(_c2(r[:]) for r in refs[0:3])
         q = tuple(_c2(r[:]) for r in refs[3:6])
@@ -427,21 +475,20 @@ def _g2_add_call(ntiles: int, tile: int, complete: bool, mode: str = "v1"):
         for oref, val in zip(refs[6 + ne : 9 + ne], r):
             oref[:] = jnp.stack(val, axis=0)
 
-    shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((2, L, ntiles * s, t), jnp.uint32)
     call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g2_spec(tile)] * 6 + list(extra_specs),
-        out_specs=(_g2_spec(tile),) * 3,
+        in_specs=[_g2_spec(s, t)] * 6 + list(extra_specs),
+        out_specs=(_g2_spec(s, t),) * 3,
         out_shape=(shp,) * 3,
-        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
     return lambda *ins: call(*ins, *extras)
 
 
 @functools.cache
-def _g2_dbl_call(ntiles: int, tile: int, mode: str = "v1"):
+def _g2_dbl_call(ntiles: int, s: int, t: int, mode: str = "v1"):
     inner = _make_emit(fq_spec(), mode)
     emit = Fq2Emit(inner)
     L = inner.L
@@ -449,52 +496,22 @@ def _g2_dbl_call(ntiles: int, tile: int, mode: str = "v1"):
     ne = len(extras)
 
     def kernel(*refs):
-        inner.acc = refs[-1]
         bind(refs[3]) if ne else None
         p = tuple(_c2(r[:]) for r in refs[0:3])
         r = _jac_double(emit, p)
         for oref, val in zip(refs[3 + ne : 6 + ne], r):
             oref[:] = jnp.stack(val, axis=0)
 
-    shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((2, L, ntiles * s, t), jnp.uint32)
     call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g2_spec(tile)] * 3 + list(extra_specs),
-        out_specs=(_g2_spec(tile),) * 3,
+        in_specs=[_g2_spec(s, t)] * 3 + list(extra_specs),
+        out_specs=(_g2_spec(s, t),) * 3,
         out_shape=(shp,) * 3,
-        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
     return lambda *ins: call(*ins, *extras)
-
-
-def _pick_tile(n: int) -> int:
-    """Lane-tile: 128-multiple, at most LANE_TILE, covering n without waste."""
-    t = 128
-    while t < LANE_TILE and t < n:
-        t *= 2
-    return t
-
-
-def _to_kernel_layout(coord, g2: bool):
-    """(B, L) -> (L, Bpad) or (B, 2, L) -> (2, L, Bpad); returns (arr, B, tile)."""
-    b = coord.shape[0]
-    tile = _pick_tile(b)
-    pad = (-b) % tile
-    if g2:
-        x = jnp.moveaxis(coord, 0, -1)  # (2, L, B)
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad)))
-    else:
-        x = jnp.moveaxis(coord, 0, -1)  # (L, B)
-        if pad:
-            x = jnp.pad(x, ((0, 0), (0, pad)))
-    return x, b, tile
-
-
-def _from_kernel_layout(arr, b: int):
-    return jnp.moveaxis(arr, -1, 0)[:b]
 
 
 def g1_add_pallas(p, q, complete: bool = True):
@@ -504,13 +521,14 @@ def g1_add_pallas(p, q, complete: bool = True):
     shape = jnp.broadcast_shapes(p[0].shape, q[0].shape)
     lead = shape[:-1]
     n = int(np.prod(lead)) if lead else 1
-    ins = []
-    for c in (*p, *q):
-        c = jnp.broadcast_to(c, shape).reshape(n, shape[-1])
-        arr, _, tile = _to_kernel_layout(c, g2=False)
-        ins.append(arr)
-    ntiles = ins[0].shape[-1] // tile
-    outs = _g1_add_call(ntiles, tile, complete, _mul_mode())(*ins)
+    s, t, ntiles = _geom(n)
+    ins = [
+        _to_kernel_layout(
+            jnp.broadcast_to(c, shape).reshape(n, shape[-1]), s, t, ntiles, g2=False
+        )
+        for c in (*p, *q)
+    ]
+    outs = _g1_add_call(ntiles, s, t, complete, _mul_mode())(*ins)
     return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
 
 
@@ -519,12 +537,11 @@ def g1_double_pallas(p):
     shape = p[0].shape
     lead = shape[:-1]
     n = int(np.prod(lead)) if lead else 1
-    ins = []
-    for c in p:
-        arr, _, tile = _to_kernel_layout(c.reshape(n, shape[-1]), g2=False)
-        ins.append(arr)
-    ntiles = ins[0].shape[-1] // tile
-    outs = _g1_dbl_call(ntiles, tile, _mul_mode())(*ins)
+    s, t, ntiles = _geom(n)
+    ins = [
+        _to_kernel_layout(c.reshape(n, shape[-1]), s, t, ntiles, g2=False) for c in p
+    ]
+    outs = _g1_dbl_call(ntiles, s, t, _mul_mode())(*ins)
     return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
 
 
@@ -535,13 +552,14 @@ def g2_add_pallas(p, q, complete: bool = True):
     shape = jnp.broadcast_shapes(p[0].shape, q[0].shape)
     lead = shape[:-2]
     n = int(np.prod(lead)) if lead else 1
-    ins = []
-    for c in (*p, *q):
-        c = jnp.broadcast_to(c, shape).reshape(n, 2, shape[-1])
-        arr, _, tile = _to_kernel_layout(c, g2=True)
-        ins.append(arr)
-    ntiles = ins[0].shape[-1] // tile
-    outs = _g2_add_call(ntiles, tile, complete, _mul_mode())(*ins)
+    s, t, ntiles = _geom(n)
+    ins = [
+        _to_kernel_layout(
+            jnp.broadcast_to(c, shape).reshape(n, 2, shape[-1]), s, t, ntiles, g2=True
+        )
+        for c in (*p, *q)
+    ]
+    outs = _g2_add_call(ntiles, s, t, complete, _mul_mode())(*ins)
     return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
 
 
@@ -550,12 +568,12 @@ def g2_double_pallas(p):
     shape = p[0].shape
     lead = shape[:-2]
     n = int(np.prod(lead)) if lead else 1
-    ins = []
-    for c in p:
-        arr, _, tile = _to_kernel_layout(c.reshape(n, 2, shape[-1]), g2=True)
-        ins.append(arr)
-    ntiles = ins[0].shape[-1] // tile
-    outs = _g2_dbl_call(ntiles, tile, _mul_mode())(*ins)
+    s, t, ntiles = _geom(n)
+    ins = [
+        _to_kernel_layout(c.reshape(n, 2, shape[-1]), s, t, ntiles, g2=True)
+        for c in p
+    ]
+    outs = _g2_dbl_call(ntiles, s, t, _mul_mode())(*ins)
     return tuple(_from_kernel_layout(o, n).reshape(shape) for o in outs)
 
 
@@ -565,7 +583,7 @@ def g2_double_pallas(p):
 
 
 @functools.cache
-def _mul_call(name: str, ntiles: int, tile: int, mode: str = "v1"):
+def _mul_call(name: str, ntiles: int, s: int, t: int, mode: str = "v1"):
     spec = fq_spec() if name == "fq" else fr_spec()
     emit = _make_emit(spec, mode)
     L = emit.L
@@ -573,18 +591,16 @@ def _mul_call(name: str, ntiles: int, tile: int, mode: str = "v1"):
     ne = len(extras)
 
     def kernel(*refs):
-        emit.acc = refs[-1]
         bind(refs[2]) if ne else None
         refs[2 + ne][:] = emit.mul(refs[0][:], refs[1][:])
 
-    bspec = pl.BlockSpec((L, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((L, s, t), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
         in_specs=[bspec, bspec] + list(extra_specs),
         out_specs=bspec,
-        out_shape=jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
+        out_shape=jax.ShapeDtypeStruct((L, ntiles * s, t), jnp.uint32),
         interpret=_interpret(),
     )
     return lambda *ins: call(*ins, *extras)
@@ -597,12 +613,12 @@ def mont_mul_pallas(spec_name: str, a, b):
     shape = jnp.broadcast_shapes(a.shape, b.shape)
     lead = shape[:-1]
     n = int(np.prod(lead)) if lead else 1
+    s, t, ntiles = _geom(n)
     aa = jnp.broadcast_to(a, shape).reshape(n, shape[-1])
     bb = jnp.broadcast_to(b, shape).reshape(n, shape[-1])
-    arr_a, _, tile = _to_kernel_layout(aa, g2=False)
-    arr_b, _, _ = _to_kernel_layout(bb, g2=False)
-    ntiles = arr_a.shape[-1] // tile
-    out = _mul_call(spec_name, ntiles, tile, _mul_mode())(arr_a, arr_b)
+    arr_a = _to_kernel_layout(aa, s, t, ntiles, g2=False)
+    arr_b = _to_kernel_layout(bb, s, t, ntiles, g2=False)
+    out = _mul_call(spec_name, ntiles, s, t, _mul_mode())(arr_a, arr_b)
     return _from_kernel_layout(out, n).reshape(shape)
 
 
@@ -663,15 +679,13 @@ def _jac_madd(f, acc, q, sign, active):
 
 
 @functools.cache
-def _g1_madd_call(ntiles: int, tile: int, mode: str = "v1"):
+def _g1_madd_call(ntiles: int, s: int, t: int, mode: str = "v1"):
     emit = _make_emit(fq_spec(), mode)
     L = emit.L
     extras, extra_specs, bind = _fold_inputs(emit)
     ne = len(extras)
-    fspec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def kernel(*refs):
-        emit.acc = refs[-1]
         bind(refs[6]) if ne else None
         flags = refs[5]
         sign = flags[0] != 0
@@ -681,34 +695,30 @@ def _g1_madd_call(ntiles: int, tile: int, mode: str = "v1"):
         (rx, ry, rz), exc = _jac_madd(emit, p, q, sign, active)
         ox, oy, oz, oexc = refs[6 + ne : 10 + ne]
         ox[:], oy[:], oz[:] = rx, ry, rz
-        row = jnp.where(exc, jnp.uint32(1), jnp.uint32(0))
-        oexc[:] = jnp.broadcast_to(row[None, :], (8, row.shape[0]))
+        oexc[:] = jnp.where(exc, jnp.uint32(1), jnp.uint32(0))
 
-    shp = jax.ShapeDtypeStruct((L, ntiles * tile), jnp.uint32)
-    eshp = jax.ShapeDtypeStruct((8, ntiles * tile), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((L, ntiles * s, t), jnp.uint32)
+    eshp = jax.ShapeDtypeStruct((ntiles * s, t), jnp.uint32)
     call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g1_spec(tile)] * 5 + [fspec] + list(extra_specs),
-        out_specs=(_g1_spec(tile),) * 3 + (fspec,),
+        in_specs=[_g1_spec(s, t)] * 5 + [_flag_spec(s, t)] + list(extra_specs),
+        out_specs=(_g1_spec(s, t),) * 3 + (_exc_spec(s, t),),
         out_shape=(shp,) * 3 + (eshp,),
-        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
     return lambda *ins: call(*ins, *extras)
 
 
 @functools.cache
-def _g2_madd_call(ntiles: int, tile: int, mode: str = "v1"):
+def _g2_madd_call(ntiles: int, s: int, t: int, mode: str = "v1"):
     inner = _make_emit(fq_spec(), mode)
     emit = Fq2Emit(inner)
     L = inner.L
     extras, extra_specs, bind = _fold_inputs(inner)
     ne = len(extras)
-    fspec = pl.BlockSpec((8, tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     def kernel(*refs):
-        inner.acc = refs[-1]
         bind(refs[6]) if ne else None
         flags = refs[5]
         sign = flags[0] != 0
@@ -718,21 +728,29 @@ def _g2_madd_call(ntiles: int, tile: int, mode: str = "v1"):
         (rx, ry, rz), exc = _jac_madd(emit, p, q, sign, active)
         for oref, val in zip(refs[6 + ne : 9 + ne], (rx, ry, rz)):
             oref[:] = jnp.stack(val, axis=0)
-        row = jnp.where(exc, jnp.uint32(1), jnp.uint32(0))
-        refs[9 + ne][:] = jnp.broadcast_to(row[None, :], (8, row.shape[0]))
+        refs[9 + ne][:] = jnp.where(exc, jnp.uint32(1), jnp.uint32(0))
 
-    shp = jax.ShapeDtypeStruct((2, L, ntiles * tile), jnp.uint32)
-    eshp = jax.ShapeDtypeStruct((8, ntiles * tile), jnp.uint32)
+    shp = jax.ShapeDtypeStruct((2, L, ntiles * s, t), jnp.uint32)
+    eshp = jax.ShapeDtypeStruct((ntiles * s, t), jnp.uint32)
     call = pl.pallas_call(
         kernel,
         grid=(ntiles,),
-        in_specs=[_g2_spec(tile)] * 5 + [fspec] + list(extra_specs),
-        out_specs=(_g2_spec(tile),) * 3 + (fspec,),
+        in_specs=[_g2_spec(s, t)] * 5 + [_flag_spec(s, t)] + list(extra_specs),
+        out_specs=(_g2_spec(s, t),) * 3 + (_exc_spec(s, t),),
         out_shape=(shp,) * 3 + (eshp,),
-        scratch_shapes=[pltpu.VMEM((2 * L, tile), jnp.uint32)],
         interpret=_interpret(),
     )
     return lambda *ins: call(*ins, *extras)
+
+
+def _flags_to_layout(sign, active, s, t, ntiles, b):
+    flags = jnp.stack(
+        [jnp.asarray(sign, jnp.uint32), jnp.asarray(active, jnp.uint32)], axis=0
+    )
+    pad = ntiles * s * t - b
+    if pad:
+        flags = jnp.pad(flags, ((0, 0), (0, pad)))
+    return flags.reshape(2, ntiles * s, t)
 
 
 def g1_madd_pallas(acc, q_affine, sign, active):
@@ -741,24 +759,12 @@ def g1_madd_pallas(acc, q_affine, sign, active):
     accs = tuple(jnp.asarray(c, jnp.uint32) for c in acc)
     qs = tuple(jnp.asarray(c, jnp.uint32) for c in q_affine)
     b = accs[0].shape[0]
-    ins = []
-    tile = _pick_tile(b)
-    for c in (*accs, *qs):
-        arr, _, tile = _to_kernel_layout(c, g2=False)
-        ins.append(arr)
-    flags = jnp.stack(
-        [
-            jnp.asarray(sign, jnp.uint32),
-            jnp.asarray(active, jnp.uint32),
-        ],
-        axis=0,
-    )
-    pad = ins[0].shape[-1] - b
-    flags = jnp.pad(flags, ((0, 6), (0, pad)))
-    ntiles = ins[0].shape[-1] // tile
-    ox, oy, oz, exc = _g1_madd_call(ntiles, tile, _mul_mode())(*ins, flags)
+    s, t, ntiles = _geom(b)
+    ins = [_to_kernel_layout(c, s, t, ntiles, g2=False) for c in (*accs, *qs)]
+    flags = _flags_to_layout(sign, active, s, t, ntiles, b)
+    ox, oy, oz, exc = _g1_madd_call(ntiles, s, t, _mul_mode())(*ins, flags)
     out = tuple(_from_kernel_layout(o, b) for o in (ox, oy, oz))
-    return out, exc[0, :b]
+    return out, exc.reshape(-1)[:b]
 
 
 def g2_madd_pallas(acc, q_affine, sign, active):
@@ -766,21 +772,9 @@ def g2_madd_pallas(acc, q_affine, sign, active):
     accs = tuple(jnp.asarray(c, jnp.uint32) for c in acc)
     qs = tuple(jnp.asarray(c, jnp.uint32) for c in q_affine)
     b = accs[0].shape[0]
-    ins = []
-    tile = _pick_tile(b)
-    for c in (*accs, *qs):
-        arr, _, tile = _to_kernel_layout(c, g2=True)
-        ins.append(arr)
-    flags = jnp.stack(
-        [
-            jnp.asarray(sign, jnp.uint32),
-            jnp.asarray(active, jnp.uint32),
-        ],
-        axis=0,
-    )
-    pad = ins[0].shape[-1] - b
-    flags = jnp.pad(flags, ((0, 6), (0, pad)))
-    ntiles = ins[0].shape[-1] // tile
-    ox, oy, oz, exc = _g2_madd_call(ntiles, tile, _mul_mode())(*ins, flags)
+    s, t, ntiles = _geom(b)
+    ins = [_to_kernel_layout(c, s, t, ntiles, g2=True) for c in (*accs, *qs)]
+    flags = _flags_to_layout(sign, active, s, t, ntiles, b)
+    ox, oy, oz, exc = _g2_madd_call(ntiles, s, t, _mul_mode())(*ins, flags)
     out = tuple(_from_kernel_layout(o, b) for o in (ox, oy, oz))
-    return out, exc[0, :b]
+    return out, exc.reshape(-1)[:b]

@@ -38,7 +38,16 @@ def init_distributed() -> bool:
     single-process runs, tests and the CPU rig never pay the cost."""
     if not os.environ.get("VSTPU_DISTRIBUTED"):
         return False
-    jax.distributed.initialize()  # coordinator/num_processes/id from env
+    kw = {}
+    if os.environ.get("VSTPU_COORD"):
+        # explicit bring-up (tests / bare-metal): VSTPU_COORD=host:port,
+        # VSTPU_NPROC, VSTPU_PROCID; otherwise auto-detect (SLURM/TPU pods)
+        kw = dict(
+            coordinator_address=os.environ["VSTPU_COORD"],
+            num_processes=int(os.environ["VSTPU_NPROC"]),
+            process_id=int(os.environ["VSTPU_PROCID"]),
+        )
+    jax.distributed.initialize(**kw)
     return True
 
 
@@ -141,34 +150,41 @@ def sharded_msm_scheduled(mesh: Mesh, group: str, points_xy, schedules):
     the same window_bits / num_windows / num_parts.
     Returns (jacobian coords (parts, ...), total exceptional-lane count).
     """
-    from ..ops import msm_sched
-
     axis = "points"
     d = mesh.shape[axis]
     assert len(schedules) == d
     s0 = schedules[0]
     codes, merges = pad_schedules(schedules)
+    fn = sharded_msm_scheduled_fn(
+        mesh, group, s0.num_windows, s0.window_bits, s0.num_parts
+    )
+    return fn(points_xy, codes, merges)
+
+
+def sharded_msm_scheduled_fn(mesh: Mesh, group: str, K: int, w: int, parts: int):
+    """The shard_map callable behind sharded_msm_scheduled, for callers that
+    build global jax.Arrays themselves (the multi-process path: every host
+    owns only its shard of points/codes, via jax.make_array_from_callback)."""
+    from ..ops import msm_sched
+
+    axis = "points"
     ops = co.g1_ops() if group == "g1" else co.g2_ops()
 
     def local(pxy, codes_l, merge_l):
-        res, exc = msm_sched._msm_device(
-            group, pxy, codes_l[0], merge_l[0], s0.num_windows, s0.window_bits,
-            s0.num_parts,
-        )
+        res, exc = msm_sched._msm_device(group, pxy, codes_l[0], merge_l[0], K, w, parts)
         gathered = tuple(
             jax.lax.all_gather(c[None, ...], axis, tiled=True) for c in res
         )
         total = ops.sum_reduce(gathered, axis=0)
         return total, jax.lax.psum(exc.astype(jnp.uint32), axis)
 
-    fn = jax.shard_map(
+    return jax.shard_map(
         local,
         mesh=mesh,
         in_specs=((P(axis), P(axis)), P(axis), P(axis)),
         out_specs=(tuple(P() for _ in range(3)), P()),
         check_vma=False,
     )
-    return fn(points_xy, codes, merges)
 
 
 def sharded_ntt4(mesh: Mesh, axis: str, plan, x):

@@ -320,6 +320,87 @@ def _trace(label: str, t0: float):
     return time.time()
 
 
+def _devaff_padded(pk: ProvingKey, name: str, d: int):
+    """_devaff coords padded so the point count divides the mesh axis size
+    (pad points are (0, 0) = the madd kernel's infinity encoding)."""
+    cache = pk._dev.setdefault("devaff_pad", {})
+    key = (name, d)
+    if key not in cache:
+        x, y = _devaff(pk, name)
+        pad = (-x.shape[0]) % d
+        if pad:
+            widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+            x, y = jnp.pad(x, widths), jnp.pad(y, widths)
+        cache[key] = (x, y)
+    return cache[key]
+
+
+def _prove_msms_sharded(pk: ProvingKey, w_limbs: list, h_limbs: list, mesh):
+    """Point-sharded prover MSMs over the mesh's `points` axis.
+
+    Each of the five query MSMs is partitioned point-wise: shard d owns CRS
+    rows [d*n/D, (d+1)*n/D) and a conflict-free schedule built from its
+    scalar slice; partials all-gather + tree-reduce inside the shard_map
+    (parallel/sharded.sharded_msm_scheduled).  This is the multi-chip form of
+    the multiexp the reference runs single-threaded (common.hpp:916,1132)."""
+    import time
+
+    from ..ops import msm_sched as ms
+    from ..parallel import sharded
+
+    d = mesh.shape["points"]
+    t0 = time.time()
+    aux_limbs = [wl[pk.num_primary + 1 :] for wl in w_limbs]
+
+    def shard_schedules(limbs_list):
+        n = limbs_list[0].shape[0]
+        pad = (-n) % d
+        n_sh = (n + pad) // d
+        scheds = []
+        for i in range(d):
+            sl = []
+            for l in limbs_list:
+                seg = l[i * n_sh : min((i + 1) * n_sh, n)]
+                if seg.shape[0] < n_sh:
+                    seg = np.concatenate(
+                        [seg, np.zeros((n_sh - seg.shape[0], seg.shape[1]), seg.dtype)]
+                    )
+                sl.append(seg)
+            scheds.append(ms.build_schedule_multi(sl))
+        return scheds
+
+    sch_w = shard_schedules(w_limbs)
+    sch_aux = shard_schedules(aux_limbs)
+    sch_h = shard_schedules(h_limbs)
+    t0 = _trace(f"sharded schedules (D={d})", t0)
+
+    queries = (
+        ("a", "g1", sch_w),
+        ("b1", "g1", sch_w),
+        ("b2", "g2", sch_w),
+        ("l", "g1", sch_aux),
+        ("h", "g1", sch_h),
+    )
+    outs, excs = {}, {}
+    with mesh:
+        for name, group, sch in queries:
+            outs[name], excs[name] = sharded.sharded_msm_scheduled(
+                mesh, group, _devaff_padded(pk, name, d), sch
+            )
+    flags = jax.device_get(jnp.stack([excs[n] for n, *_ in queries]))
+    assert not any(bool(h) for h in flags), (
+        "sharded MSM hit the madd doubling corner"
+    )  # pragma: no cover - adversarial corner (unsharded path has the fallback)
+    t0 = _trace("sharded msms", t0)
+    return (
+        co.g1_from_device(outs["a"]),
+        co.g1_from_device(outs["b1"]),
+        co.g2_from_device(outs["b2"]),
+        co.g1_from_device(outs["l"]),
+        co.g1_from_device(outs["h"]),
+    )
+
+
 def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list):
     """Per-voter scheduled-bucket MSMs (ops/msm_sched.py).
 
@@ -522,7 +603,9 @@ def _abc_h_w_fn(pk: ProvingKey):
     return pk._dev["abc_h_w_fn"]
 
 
-def prove_device(pk: ProvingKey, w_mont, rng: FrRandom) -> tuple[list[Proof], np.ndarray]:
+def prove_device(
+    pk: ProvingKey, w_mont, rng: FrRandom, mesh=None
+) -> tuple[list[Proof], np.ndarray]:
     """Prove from a device-resident Montgomery witness tensor (B, m, L)
     (as produced by circuit.witness_dev.generate_witness_device).
 
@@ -540,7 +623,9 @@ def prove_device(pk: ProvingKey, w_mont, rng: FrRandom) -> tuple[list[Proof], np
     t0 = _trace("abc+h device", t0)
 
     B = w_np.shape[0]
-    if use_device():
+    if mesh is not None:
+        pts = _prove_msms_sharded(pk, list(w_np), list(h_np), mesh)
+    elif use_device():
         pts = _msms_device(pk, list(w_np), list(h_np))
     else:
         spec = fr_spec()

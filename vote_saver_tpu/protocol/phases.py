@@ -180,6 +180,7 @@ def vote_with_context(
     votes: list[int],
     sk_blobs: list[bytes],
     rng: FrRandom | None = None,
+    mesh=None,
 ) -> list[tuple[bytes, bytes, bytes, bytes]]:
     rng = rng or FrRandom()
     B = len(voter_indices)
@@ -217,7 +218,7 @@ def vote_with_context(
             circ, np.array(votes), eid, sks, np.array(voter_indices), sib
         )
         t0 = _trace("witness gen", t0)
-        proofs, w_std = groth16.prove_device(pk, w_mont, rng)
+        proofs, w_std = groth16.prove_device(pk, w_mont, rng, mesh=mesh)
         t0 = _trace("prove_device total", t0)
         prim = lb.limbs_to_ints(
             w_std[:, 1 : 1 + circ.cs.num_primary], fr_spec()

@@ -165,12 +165,32 @@ def jj_neg(p):
     return ((-p[0]) % R, p[1])
 
 
+def _jj_add_proj(p, q):
+    """Unified projective twisted-Edwards add (complete for a=-1, d
+    non-square) — inversion-free, so scalar ladders don't pay two modular
+    inverses per step the way the affine `jj_add` does."""
+    x1, y1, z1 = p
+    x2, y2, z2 = q
+    a = z1 * z2 % R
+    b = a * a % R
+    c = x1 * x2 % R
+    d = y1 * y2 % R
+    e = JUBJUB_D * c % R * d % R
+    f = (b - e) % R
+    g = (b + e) % R
+    x3 = a * f % R * (((x1 + y1) * (x2 + y2) - c - d) % R) % R
+    y3 = a * g % R * ((d - JUBJUB_A * c) % R) % R
+    z3 = f * g % R
+    return (x3, y3, z3)
+
+
 def jj_mul(p, k: int):
     k %= JUBJUB_RS * JUBJUB_COFACTOR
-    acc, base = JJ_IDENTITY, p
+    acc, base = (0, 1, 1), (p[0], p[1], 1)
     while k:
         if k & 1:
-            acc = jj_add(acc, base)
-        base = jj_add(base, base)
+            acc = _jj_add_proj(acc, base)
+        base = _jj_add_proj(base, base)
         k >>= 1
-    return acc
+    zi = pow(acc[2], R - 2, R)
+    return (acc[0] * zi % R, acc[1] * zi % R)
