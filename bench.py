@@ -54,7 +54,7 @@ def _election_artifacts(depth: int, eid_bits: int, n_voters: int):
 
     d = _CACHE / f"prover_d{depth}_v{n_voters}"
     d.mkdir(parents=True, exist_ok=True)
-    names = ["pk_crs", "vk_crs", "pk_eid", "eid", "rt", "tree"] + [
+    names = ["pk_crs", "vk_crs", "pk_eid", "vk_eid", "eid", "rt", "tree"] + [
         f"sk{i}" for i in range(n_voters)
     ]
     paths = {n: d / f"{n}.bin" for n in names}
@@ -64,7 +64,7 @@ def _election_artifacts(depth: int, eid_bits: int, n_voters: int):
     rng = FrRandom(0xBE11C)
     t0 = time.time()
     voters = [phases.init_voter_phase(i, rng) for i in range(n_voters)]
-    pk_crs, vk_crs, pk_eid, _sk_eid, _vk_eid = phases.init_admin_phase_generate_keys(
+    pk_crs, vk_crs, pk_eid, _sk_eid, vk_eid = phases.init_admin_phase_generate_keys(
         depth, eid_bits, rng
     )
     eid_blob, rt_blob, tree_blob = phases.init_admin_phase_generate_data(
@@ -72,8 +72,8 @@ def _election_artifacts(depth: int, eid_bits: int, n_voters: int):
     )
     log(f"[bench] setup took {time.time()-t0:.0f}s")
     blobs = dict(
-        pk_crs=pk_crs, vk_crs=vk_crs, pk_eid=pk_eid, eid=eid_blob, rt=rt_blob,
-        tree=tree_blob,
+        pk_crs=pk_crs, vk_crs=vk_crs, pk_eid=pk_eid, vk_eid=vk_eid,
+        eid=eid_blob, rt=rt_blob, tree=tree_blob,
     )
     for i, (_pk, sk) in enumerate(voters):
         blobs[f"sk{i}"] = sk
@@ -114,13 +114,21 @@ def bench_prover(extra: dict, on_tpu: bool) -> float:
     dt = (time.time() - t0) / reps
     proofs_per_s = B / dt
 
-    # sanity: the ballots must verify (off-chain vergrth16 equivalent)
-    vk_eid_path = _CACHE / f"prover_d{depth}_v{B}" / "vk_eid.bin"
+    # sanity: every timed ballot must verify (off-chain vergrth16 equivalent,
+    # phases.verify_ballot = SAVER verify_encryption, host pairings)
+    t0 = time.time()
+    ok = [
+        phases.verify_ballot(pb, ib, cb, blobs["vk_eid"], blobs["vk_crs"])
+        for (pb, ib, cb, _sb) in ballots
+    ]
+    assert all(ok), f"ballot verification FAILED: {ok}"
+    log(f"[bench] verified {len(ok)}/{len(ok)} ballots in {time.time()-t0:.1f}s")
     extra.update(
         prover_depth=depth,
         prover_batch=B,
         vote_phase_ms_per_ballot=round(dt / B * 1e3, 1),
         vote_phase_batch_s=round(dt, 2),
+        ballots_verified=len(ok),
     )
     return proofs_per_s
 
@@ -158,6 +166,9 @@ def bench_msm(extra: dict):
     from vote_saver_tpu.params import R
     from vote_saver_tpu.ops import msm_sched as ms
 
+    from vote_saver_tpu.ops import curve_ops as co
+    from vote_saver_tpu.refimpl import jacobian as rj
+
     rng = random.Random(0xBE11C)
     n, w = 1 << 16, 10
     log(f"[bench] building {n} walk points ...")
@@ -181,39 +192,103 @@ def bench_msm(extra: dict):
         res, _e = fn(pxy, codes, mi)
         np.asarray(res[0])
     msm_dt = (time.time() - t0) / reps
+    # correctness: the device result must equal the host-oracle MSM on the
+    # SAME inputs (native Pippenger; cached — points and scalars are seeded)
+    exp_f = _CACHE / f"msm_expected_{n}.txt"
+    if exp_f.exists():
+        expected = tuple(int(v) for v in exp_f.read_text().split())
+    else:
+        t0 = time.time()
+        expected = rj.msm_host(pts, scalars)
+        log(f"[bench] host oracle msm took {time.time()-t0:.1f}s")
+        exp_f.write_text(f"{expected[0]} {expected[1]}")
+    got = co.g1_from_device(tuple(np.asarray(c) for c in res))[0]
+    assert got == expected, "device MSM does not match the host oracle"
     extra.update(
         msm_g1_mpoints_per_s=round(n / msm_dt / 1e6, 4),
         msm_n=n, msm_window=w, msm_ms=round(msm_dt * 1e3, 1),
         msm_sched_host_ms=round(t_sched * 1e3, 1),
         msm_steps=int(sched.codes.shape[0]), msm_lanes=sched.lanes,
+        msm_matches_host=True,
     )
 
 
 def bench_field_mul(extra: dict):
+    """In-kernel chained Montgomery mul at the production (L, S, T) tile
+    density — the rate the fused curve kernels actually see (VMEM-resident
+    operands, no per-mul HBM layout conversion).  Parity-checked against the
+    host oracle each run."""
     import jax
+    import jax.numpy as jnp
     import numpy as np
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    from vote_saver_tpu.params import fq_spec
+    from vote_saver_tpu.params import Q, fq_spec
     from vote_saver_tpu.ops import pallas_field as pf
 
     spec = fq_spec()
-    B = 1 << 17
-    xs = np.random.RandomState(0).randint(0, 1 << 16, size=(B, spec.num_limbs)).astype(np.uint32)
-    ys = np.random.RandomState(1).randint(0, 1 << 16, size=(B, spec.num_limbs)).astype(np.uint32)
-    xs[:, -1] = 0
-    ys[:, -1] = 0
-    xs, ys = jax.device_put(xs), jax.device_put(ys)
-    mul_pl = jax.jit(lambda a, b: pf.mont_mul_pallas("fq", a, b))
-    v = mul_pl(xs, ys)
-    np.asarray(v[0])
+    S, T, NTILES, UNROLL, CHAINS = 8, 128, 14, 6, 4
+    emit = pf._make_emit(spec, pf._mul_mode())
+    L = emit.L
+    extras, extra_specs, bind = pf._fold_inputs(emit)
+    ne = len(extras)
+
+    def kernel(*refs):
+        bind(refs[2]) if ne else None
+        x = refs[0][:]
+        y = refs[1][:]
+        # CHAINS independent dependency chains expose ILP (one chain measures
+        # mul LATENCY, which scripts/micro_mul_chain.py covers); rolls make
+        # the chains distinct so XLA cannot CSE them
+        chains = [x] + [
+            jnp.concatenate([x[..., k:], x[..., :k]], axis=-1)
+            for k in range(1, CHAINS)
+        ]
+        for _ in range(UNROLL):
+            chains = [emit.mul(c, y) for c in chains]
+        refs[2 + ne][:] = chains[0]
+        rest = chains[1]
+        for c in chains[2:]:
+            rest = emit.add(rest, c)
+        refs[3 + ne][:] = rest
+
+    bspec = pl.BlockSpec((L, S, T), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((L, NTILES * S, T), jnp.uint32)
+    call = pl.pallas_call(
+        kernel,
+        grid=(NTILES,),
+        in_specs=[bspec, bspec] + list(extra_specs),
+        out_specs=(bspec, bspec),
+        out_shape=(shp, shp),
+        interpret=pf._interpret(),
+    )
+    fn = jax.jit(lambda a, b: call(a, b, *extras))
+
+    B = NTILES * S * T
+    rng = random.Random(7)
+    xs = [rng.randrange(Q) for _ in range(B)]
+    ys = [rng.randrange(Q) for _ in range(B)]
+    a = np.array([spec.to_limbs(v) for v in xs], np.uint32).T.reshape(L, NTILES * S, T)
+    b = np.array([spec.to_limbs(v) for v in ys], np.uint32).T.reshape(L, NTILES * S, T)
+    a, b = jax.device_put(np.ascontiguousarray(a)), jax.device_put(np.ascontiguousarray(b))
+    out = fn(a, b)
+    np.asarray(out[0])
+    reps = 20
     t0 = time.time()
-    N = 20
-    v = xs
-    for _ in range(N):
-        v = mul_pl(v, ys)
-    np.asarray(v[0])
-    dt = (time.time() - t0) / N
-    extra["fq_mul_mps"] = round(B / dt / 1e6, 1)
+    x = a
+    for _ in range(reps):
+        x, _rest = fn(x, b)
+    np.asarray(x)
+    dt = (time.time() - t0) / reps
+    # parity vs host oracle (chain 0 is chained reps*UNROLL deep on elt 0)
+    want = xs[0]
+    rinv = spec.mont_r_inv
+    for _ in range(reps * UNROLL):
+        want = want * ys[0] % Q * rinv % Q
+    assert spec.from_limbs(np.asarray(x)[:, 0, 0]) == want, "fq mul parity"
+    extra["fq_mul_mps"] = round(B * UNROLL * CHAINS / dt / 1e6, 1)
+    extra["fq_mul_mode"] = pf._mul_mode()
 
 
 def bench_ntt(extra: dict, domain_log: int):

@@ -29,8 +29,14 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 from vote_saver_tpu.params import fq_spec, Q
 from vote_saver_tpu.ops import pallas_field as pf
 
-TILE = 512
-NTILES = 28
+# Kernel layout matches the production curve kernels: (L, S, T) tiles with
+# S sublanes x T lanes = full (8, 128) vreg density.  (An earlier version of
+# this script used 2-D (L, TILE) blocks — 1 sublane per vreg, i.e. the v1
+# layout mistake pallas_field's module docstring describes — and measured
+# both multipliers ~8x below their real rate.)
+S = 8
+T = 128
+NTILES = 14
 UNROLL = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 
 
@@ -42,7 +48,6 @@ def build(mode: str):
     ne = len(extras)
 
     def kernel(*refs):
-        emit.acc = refs[-1]
         bind(refs[2]) if ne else None
         x = refs[0][:]
         y = refs[1][:]
@@ -50,14 +55,13 @@ def build(mode: str):
             x = emit.mul(x, y)
         refs[2 + ne][:] = x
 
-    bspec = pl.BlockSpec((L, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((L, S, T), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
     call = pl.pallas_call(
         kernel,
         grid=(NTILES,),
         in_specs=[bspec, bspec] + list(extra_specs),
         out_specs=bspec,
-        out_shape=jax.ShapeDtypeStruct((L, NTILES * TILE), jnp.uint32),
-        scratch_shapes=[pltpu.VMEM((2 * L, TILE), jnp.uint32)],
+        out_shape=jax.ShapeDtypeStruct((L, NTILES * S, T), jnp.uint32),
         interpret=pf._interpret(),
     )
     return lambda a, b: call(a, b, *extras), L
@@ -68,11 +72,15 @@ def main():
 
     spec = fq_spec()
     rng = random.Random(7)
-    B = NTILES * TILE
+    B = NTILES * S * T
     xs = [rng.randrange(Q) for _ in range(B)]
     ys = [rng.randrange(Q) for _ in range(B)]
-    a = np.array([spec.to_limbs(v) for v in xs], np.uint32).T.copy()
-    b = np.array([spec.to_limbs(v) for v in ys], np.uint32).T.copy()
+    a = np.array([spec.to_limbs(v) for v in xs], np.uint32).T.reshape(
+        spec.num_limbs, NTILES * S, T
+    ).copy()
+    b = np.array([spec.to_limbs(v) for v in ys], np.uint32).T.reshape(
+        spec.num_limbs, NTILES * S, T
+    ).copy()
     a, b = jax.device_put(a), jax.device_put(b)
     for mode in ("v1", "fold"):
         call, L = build(mode)
@@ -92,8 +100,8 @@ def main():
         muls = B * UNROLL
         print(f"chain[{mode}] unroll={UNROLL}: {muls/dt/1e6:8.1f} M mul/s "
               f"({dt*1e6:.0f} us/call; compile {compile_s:.1f}s)")
-        # parity spot check (first column; `out` is a chained reps*UNROLL deep)
-        got = np.asarray(out)[:, 0]
+        # parity spot check (first element; `out` is chained reps*UNROLL deep)
+        got = np.asarray(out)[:, 0, 0]
         want = xs[0]
         rinv = spec.mont_r_inv
         for _ in range(reps * UNROLL):

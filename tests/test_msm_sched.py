@@ -16,7 +16,6 @@ import pytest
 _CHECK = pathlib.Path(__file__).parent / "_msm_sched_check.py"
 
 
-@pytest.mark.slow
 def test_msm_sched_suite():
     import os
 
@@ -30,10 +29,16 @@ def test_msm_sched_suite():
         [sys.executable, str(_CHECK)],
         capture_output=True,
         text=True,
-        timeout=1500,
+        timeout=600,
         env=env,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "ALL-OK" in proc.stdout
-    for label in ("native-multi", "python-parity", "orphan-spill", "doubling-fallback"):
+    for label in (
+        "native-multi",
+        "python-parity",
+        "orphan-spill",
+        "pallas-tiny",
+        "doubling-fallback",
+    ):
         assert f"CHECK {label} ok" in proc.stdout

@@ -11,7 +11,10 @@ streams from this framework's artifacts, so a real cluster run needs only a
 ABI descriptions for both contracts are emitted as `.abi.json` documents
 generated from the simulator's method surface (chain/contracts.py), matching
 the reference's shipped `voting_admin.abi.json` / `voting_voter.abi.json`
-function lists (share/tvm/*.abi.json).
+function lists (share/tvm/*.abi.json).  The `.tvc` images referenced by the
+deploy commands compile from this framework's own contract sources
+(chain/tvm/voting_admin.sol / voting_voter.sol, via chain/tvm/build.sh on a
+TON-toolchain host).
 """
 
 from __future__ import annotations

@@ -236,8 +236,7 @@ class JacobianOps:
             return tuple(take(tc) for tc in table)
 
         def body(acc, dig):
-            for _ in range(window):
-                acc = self.double(acc)
+            acc = jax.lax.fori_loop(0, window, lambda _i, a: self.double(a), acc)
             return self.add(acc, lookup(dig)), None
 
         acc = self.infinity_like(p[0])

@@ -383,32 +383,47 @@ def _infinity(ops, lanes, g2: bool):
 
 def _suffix_and_total(ops, acc, K: int, bw: int):
     """acc: Jacobian coords with leading dim (K*bw[, pad]) -> per-window
-    weighted sums S_w = sum_b (b+1) * acc[w, b] as coords (K, ...)."""
+    weighted sums S_w = sum_b (b+1) * acc[w, b] as coords (K, ...).
+
+    Two passes of the same masked Hillis-Steele doubling body, as ONE
+    lax.scan body compiled once (not log2(bw) inlined rounds — the unrolled
+    form dominated the scheduled MSM's XLA graph and its TPU compile time):
+    pass 1 turns buckets into suffix sums S_b = sum_{j>=b} a_j, pass 2 sums
+    those (position 0 then holds sum_b S_b = sum_b (b+1) a_b).  Out-of-range
+    partners enter as infinity, which the complete add absorbs."""
     coords = tuple(c[: K * bw].reshape((K, bw) + c.shape[1:]) for c in acc)
-    # suffix sums over the bucket axis (Hillis-Steele)
-    shift = 1
-    idx = jnp.arange(bw)
-    while shift < bw:
-        rolled = tuple(jnp.roll(c, -shift, axis=1) for c in coords)
-        added = ops.add(coords, rolled)
-        valid = (idx + shift < bw).reshape((1, bw) + (1,) * (coords[0].ndim - 2))
-        coords = tuple(jnp.where(valid, a, c) for a, c in zip(added, coords))
-        shift *= 2
-    # S_w = sum of suffix sums over buckets (log tree over axis 1)
-    return ops.sum_reduce(coords, axis=1)
+    if bw > 1:
+        steps = (bw - 1).bit_length()
+        shifts = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+        idx = jnp.arange(bw)
+        inf = ops.infinity_like(coords[0])
+
+        def body(cs, shift):
+            valid = (idx + shift < bw).reshape(
+                (1, bw) + (1,) * (cs[0].ndim - 2)
+            )
+            rolled = tuple(
+                jnp.where(valid, jnp.roll(c, -shift, axis=1), i)
+                for c, i in zip(cs, inf)
+            )
+            return ops.add(cs, rolled), None
+
+        coords, _ = jax.lax.scan(body, coords, shifts)  # suffix sums
+        coords, _ = jax.lax.scan(body, coords, shifts)  # sum of suffixes
+    return tuple(c[:, 0] for c in coords)
 
 
 def _horner(ops, window_sums, w: int, parts: int):
     """result[p] = sum_j 2^(w*j) * S_{p,j} via MSB-first Horner scan, batched
-    over parts.  window_sums coords have leading dim parts*K."""
+    over parts.  window_sums coords have leading dim parts*K.  The w
+    doublings ride a fori_loop (one compiled double body, not w inlined)."""
     coords = tuple(
         c.reshape((parts, c.shape[0] // parts) + c.shape[1:]) for c in window_sums
     )
     rev = tuple(jnp.moveaxis(c[:, ::-1], 1, 0) for c in coords)  # (K, parts, ...)
 
     def body(acc, s):
-        for _ in range(w):
-            acc = ops.double(acc)
+        acc = jax.lax.fori_loop(0, w, lambda _i, a: ops.double(a), acc)
         return ops.add(acc, s), None
 
     acc = ops.infinity_like(coords[0][:, 0])
@@ -512,11 +527,11 @@ def _var_base_fallback(group: str, points_host, scalars):
     return run
 
 
-def msm_g1(points_affine_host, scalars, window_bits: int = 10):
+def msm_g1(points_affine_host, scalars, window_bits: int = 10, scalar_bits: int = 256):
     """Host-level convenience: affine int points + int scalars -> Jacobian
     device point (single, no leading dim)."""
     inf_mask = np.array([p is None for p in points_affine_host])
-    sched = build_schedule(scalars, window_bits, inf_mask)
+    sched = build_schedule(scalars, window_bits, inf_mask, scalar_bits=scalar_bits)
     pxy = jax.device_put(g1_affine_to_device(points_affine_host))
     res = msm_scheduled(
         "g1", pxy, sched, _var_base_fallback("g1", points_affine_host, scalars)
@@ -524,9 +539,9 @@ def msm_g1(points_affine_host, scalars, window_bits: int = 10):
     return tuple(c[0] for c in res)
 
 
-def msm_g2(points_affine_host, scalars, window_bits: int = 10):
+def msm_g2(points_affine_host, scalars, window_bits: int = 10, scalar_bits: int = 256):
     inf_mask = np.array([p is None for p in points_affine_host])
-    sched = build_schedule(scalars, window_bits, inf_mask)
+    sched = build_schedule(scalars, window_bits, inf_mask, scalar_bits=scalar_bits)
     pxy = jax.device_put(g2_affine_to_device(points_affine_host))
     res = msm_scheduled(
         "g2", pxy, sched, _var_base_fallback("g2", points_affine_host, scalars)

@@ -375,30 +375,31 @@ def _prove_msms_sharded(pk: ProvingKey, w_limbs: list, h_limbs: list, mesh):
     t0 = _trace(f"sharded schedules (D={d})", t0)
 
     queries = (
-        ("a", "g1", sch_w),
-        ("b1", "g1", sch_w),
-        ("b2", "g2", sch_w),
-        ("l", "g1", sch_aux),
-        ("h", "g1", sch_h),
+        ("a", "g1", sch_w, w_limbs),
+        ("b1", "g1", sch_w, w_limbs),
+        ("b2", "g2", sch_w, w_limbs),
+        ("l", "g1", sch_aux, aux_limbs),
+        ("h", "g1", sch_h, h_limbs),
     )
     outs, excs = {}, {}
     with mesh:
-        for name, group, sch in queries:
+        for name, group, sch, _ll in queries:
             outs[name], excs[name] = sharded.sharded_msm_scheduled(
                 mesh, group, _devaff_padded(pk, name, d), sch
             )
     flags = jax.device_get(jnp.stack([excs[n] for n, *_ in queries]))
-    assert not any(bool(h) for h in flags), (
-        "sharded MSM hit the madd doubling corner"
-    )  # pragma: no cover - adversarial corner (unsharded path has the fallback)
+    # madd doubling corner (adversarially reachable): recompute that query
+    # with the complete-formula var-base MSM, same as the unsharded path
+    for (name, group, _sch, ll), hit in zip(queries, flags):
+        if bool(hit):  # pragma: no cover - adversarial corner
+            stacked = jnp.stack([jnp.asarray(sl) for sl in ll])
+            digits = msm_mod.limbs_to_window_digits(stacked)
+            ops = co.g1_ops() if group == "g1" else co.g2_ops()
+            outs[name] = jax.vmap(
+                lambda dg: msm_mod.msm_var_base(ops, pk.dev(name), dg)
+            )(digits)
     t0 = _trace("sharded msms", t0)
-    return (
-        co.g1_from_device(outs["a"]),
-        co.g1_from_device(outs["b1"]),
-        co.g2_from_device(outs["b2"]),
-        co.g1_from_device(outs["l"]),
-        co.g1_from_device(outs["h"]),
-    )
+    return outs  # device Jacobian coords, leading dim (B,) per query
 
 
 def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list):
@@ -453,14 +454,7 @@ def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list):
         if bool(hit):  # pragma: no cover - adversarial corner
             outs[name] = fb(name, group, ll)()
     t0 = _trace("msm exc sync", t0)
-
-    return (
-        co.g1_from_device(outs["a"]),
-        co.g1_from_device(outs["b1"]),
-        co.g2_from_device(outs["b2"]),
-        co.g1_from_device(outs["l"]),
-        co.g1_from_device(outs["h"]),
-    )
+    return outs  # device Jacobian coords, leading dim (B,) per query
 
 
 def _prove_msm_fn(pk: ProvingKey):
@@ -603,6 +597,31 @@ def _abc_h_w_fn(pk: ProvingKey):
     return pk._dev["abc_h_w_fn"]
 
 
+def prove_msms_device(pk: ProvingKey, w_mont, mesh=None):
+    """Witness tensor -> the five query MSMs, kept ON DEVICE.
+
+    Returns (outs, w_std): outs maps query name -> device Jacobian coords
+    with leading dim (B,); w_std is the standard-form limb witness on host.
+    The blinding/SAVER tail consumes `outs` without a host round trip
+    (protocol/ballot_dev.finalize_ballots_device).  Raises AssertionError if
+    any assignment fails the R1CS (the reference's in-production
+    BOOST_ASSERT, common.hpp:1110-1128, as one batched device reduction).
+    """
+    import time
+
+    t0 = time.time()
+    h_std, w_std, sat = _abc_h_w_fn(pk)(w_mont)
+    h_np, w_np, sat_np = jax.device_get((h_std, w_std, sat))
+    assert bool(np.all(sat_np)), "witness generation failed (R1CS unsatisfied)"
+    t0 = _trace("abc+h device", t0)
+    if mesh is not None:
+        outs = _prove_msms_sharded(pk, list(w_np), list(h_np), mesh)
+    else:
+        outs = _msms_device(pk, list(w_np), list(h_np))
+    _trace("msms total", t0)
+    return outs, w_np
+
+
 def prove_device(
     pk: ProvingKey, w_mont, rng: FrRandom, mesh=None
 ) -> tuple[list[Proof], np.ndarray]:
@@ -616,24 +635,23 @@ def prove_device(
     """
     import time
 
-    t0 = time.time()
-    h_std, w_std, sat = _abc_h_w_fn(pk)(w_mont)
-    h_np, w_np, sat_np = jax.device_get((h_std, w_std, sat))
-    assert bool(np.all(sat_np)), "witness generation failed (R1CS unsatisfied)"
-    t0 = _trace("abc+h device", t0)
-
-    B = w_np.shape[0]
-    if mesh is not None:
-        pts = _prove_msms_sharded(pk, list(w_np), list(h_np), mesh)
-    elif use_device():
-        pts = _msms_device(pk, list(w_np), list(h_np))
+    if use_device() or mesh is not None:
+        outs, w_np = prove_msms_device(pk, w_mont, mesh=mesh)
+        t0 = time.time()
+        pts = _msms_from_device(outs)
+        t0 = _trace("msm from_device", t0)
     else:
+        t0 = time.time()
+        h_std, w_std, sat = _abc_h_w_fn(pk)(w_mont)
+        h_np, w_np, sat_np = jax.device_get((h_std, w_std, sat))
+        assert bool(np.all(sat_np)), "witness generation failed (R1CS unsatisfied)"
+        t0 = _trace("abc+h device", t0)
         spec = fr_spec()
         w_ints = lb.limbs_to_ints(w_np, spec)
         h_ints = lb.limbs_to_ints(h_np, spec)
         pts = _msms_host_native(pk, list(w_ints), list(h_ints))
+        t0 = _trace("msms total", t0)
     a_pts, b1_pts, b2_pts, l_pts, h_pts = pts
-    t0 = _trace("msms total", t0)
     return _blind_and_assemble(pk, a_pts, b1_pts, b2_pts, l_pts, h_pts, rng, t0), w_np
 
 
@@ -656,24 +674,31 @@ def _msms_host_native(pk: ProvingKey, w_ints: list, h_ints: list):
     return (results[0::5], results[1::5], results[2::5], results[3::5], results[4::5])
 
 
-def _msms_device(pk: ProvingKey, w_limbs: list, h_limbs: list):
+def _msms_device(pk: ProvingKey, w_limbs: list, h_limbs: list) -> dict:
+    """Device MSMs for all five queries; returns {name: device Jacobian
+    coords with leading dim (B,)} — results stay device-resident so the
+    blinding/SAVER tail (protocol/ballot_dev.py) can consume them without a
+    host round trip."""
     import os
 
     if os.environ.get("VSTPU_MSM", "scheduled") == "varbase":
-        B = len(w_limbs)
         w_scalars = np.stack(w_limbs)
         aux_scalars = np.stack([wl[pk.num_primary + 1 :] for wl in w_limbs])
         h_scalars = np.stack(h_limbs)
         msm_fn = _prove_msm_fn(pk)
         a_j, b1_j, b2_j, l_j, h_j = msm_fn(w_scalars, aux_scalars, h_scalars)
-        return (
-            co.g1_from_device(a_j),
-            co.g1_from_device(b1_j),
-            co.g2_from_device(b2_j),
-            co.g1_from_device(l_j),
-            co.g1_from_device(h_j),
-        )
+        return dict(a=a_j, b1=b1_j, b2=b2_j, l=l_j, h=h_j)
     return _prove_msms_scheduled(pk, w_limbs, h_limbs)
+
+
+def _msms_from_device(outs: dict):
+    return (
+        co.g1_from_device(outs["a"]),
+        co.g1_from_device(outs["b1"]),
+        co.g2_from_device(outs["b2"]),
+        co.g1_from_device(outs["l"]),
+        co.g1_from_device(outs["h"]),
+    )
 
 
 def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
@@ -689,7 +714,9 @@ def prove(pk: ProvingKey, wvals: np.ndarray, rng: FrRandom) -> list[Proof]:
     if use_device():
         w_limbs = [msm_mod.scalars_to_limbs(wvals[i]) for i in range(B)]
         h_limbs = [h_scalars[i] for i in range(B)]
-        a_pts, b1_pts, b2_pts, l_pts, h_pts = _msms_device(pk, w_limbs, h_limbs)
+        a_pts, b1_pts, b2_pts, l_pts, h_pts = _msms_from_device(
+            _msms_device(pk, w_limbs, h_limbs)
+        )
     else:
         h_ints = lb.limbs_to_ints(h_scalars, spec)
         a_pts, b1_pts, b2_pts, l_pts, h_pts = _msms_host_native(

@@ -174,6 +174,24 @@ def vote_phase_batch(
     return vote_with_context(ctx, voter_indices, votes, sk_blobs, rng)
 
 
+def _finish_host(spk, vk, pk, proofs, prim, B: int, rng: FrRandom):
+    """Host tail: SAVER encrypt + rerandomize over native pointwise muls
+    (the pre-round-4 path; the device tail is protocol/ballot_dev.py).
+    Returns [(ct, proof)] per ballot."""
+    from ..protocol.groth16 import _trace as _tr
+    import time as _time
+
+    t0 = _time.time()
+    m_fields = [[int(x) for x in prim[i, :MSG_SIZE]] for i in range(B)]
+    cts0 = saver.encrypt_many(spk, vk, m_fields, [rng() for _ in range(B)])
+    t0 = _tr("saver encrypt", t0)
+    rerand = saver.rerandomize_many(
+        spk, pk.delta_g2, cts0, proofs, [[rng() for _ in range(3)] for _ in range(B)]
+    )
+    _tr("saver rerandomize", t0)
+    return rerand
+
+
 def vote_with_context(
     ctx: VoteContext,
     voter_indices: list[int],
@@ -206,7 +224,9 @@ def vote_with_context(
         assert circ.cs.is_satisfied(wit.values), "witness generation failed"
         proofs = groth16.prove(pk, wit.values, rng)
         prim = wit.primary(circ.cs.num_primary)
+        rerand = _finish_host(spk, vk, pk, proofs, prim, B, rng)
     else:
+        from ..backend import use_device
         from ..circuit import witness_dev as wd
         from ..params import fr_spec
         from ..ops import limbs as lb
@@ -218,25 +238,35 @@ def vote_with_context(
             circ, np.array(votes), eid, sks, np.array(voter_indices), sib
         )
         t0 = _trace("witness gen", t0)
-        proofs, w_std = groth16.prove_device(pk, w_mont, rng, mesh=mesh)
-        t0 = _trace("prove_device total", t0)
-        prim = lb.limbs_to_ints(
-            w_std[:, 1 : 1 + circ.cs.num_primary], fr_spec()
-        )
-        t0 = _trace("primary limbs->ints", t0)
+        if use_device() or mesh is not None or os.environ.get("VSTPU_DEVICE_TAIL"):
+            # device tail: MSM outputs stay on device; blinding + SAVER
+            # encrypt + rerandomize run as one batched device graph
+            from . import ballot_dev
+
+            outs, w_std = groth16.prove_msms_device(pk, w_mont, mesh=mesh)
+            t0 = _trace("prove msms (device)", t0)
+            prim = lb.limbs_to_ints(
+                w_std[:, 1 : 1 + circ.cs.num_primary], fr_spec()
+            )
+            t0 = _trace("primary limbs->ints", t0)
+            rerand = ballot_dev.finalize_ballots_device(
+                pk, spk, vk, outs, votes, rng
+            )
+            t0 = _trace("ballot finalize (device)", t0)
+        else:
+            proofs, w_std = groth16.prove_device(pk, w_mont, rng, mesh=mesh)
+            t0 = _trace("prove_device total", t0)
+            prim = lb.limbs_to_ints(
+                w_std[:, 1 : 1 + circ.cs.num_primary], fr_spec()
+            )
+            t0 = _trace("primary limbs->ints", t0)
+            rerand = _finish_host(spk, vk, pk, proofs, prim, B, rng)
 
     import time as _time
     from ..protocol.groth16 import _trace as _tr
 
     t0 = _time.time()
     out = []
-    m_fields = [[int(x) for x in prim[i, :MSG_SIZE]] for i in range(B)]
-    cts0 = saver.encrypt_many(spk, vk, m_fields, [rng() for _ in range(B)])
-    t0 = _tr("saver encrypt", t0)
-    rerand = saver.rerandomize_many(
-        spk, pk.delta_g2, cts0, proofs, [[rng() for _ in range(3)] for _ in range(B)]
-    )
-    t0 = _tr("saver rerandomize", t0)
     for i in range(B):
         ct, proof = rerand[i]
         pinput = [int(x) for x in prim[i]]
