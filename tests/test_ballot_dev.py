@@ -41,6 +41,48 @@ import pytest
 
 
 @pytest.mark.slow
+def test_host_fallback_arm_matches_device_finalize(monkeypatch):
+    """The axon-flake fallback (_finalize_host) must produce the same
+    ballots as the device finalize graph for the same drawn scalars."""
+    import random
+
+    from vote_saver_tpu.params import R
+    from vote_saver_tpu.protocol import ballot_dev, saver
+    from vote_saver_tpu.refimpl import curves as rc
+
+    rng = random.Random(5)
+    B, n = 2, 25
+    g1p = lambda k: [rc.g1_mul(rc.g1_gen, rng.randrange(R)) for _ in range(k)]
+    g2p = lambda k: [rc.g2_mul(rc.g2_gen, rng.randrange(R)) for _ in range(k)]
+    pk = groth16.ProvingKey(
+        num_primary=2, num_vars=8, domain=8,
+        a_pts=[], b1_pts=[], b2_pts=[], h_pts=[], l_pts=[],
+        alpha_g1=g1p(1)[0], beta_g1=g1p(1)[0], beta_g2=g2p(1)[0],
+        delta_g1=g1p(1)[0], delta_g2=g2p(1)[0], coo={}, num_constraints=5,
+    )
+    gvk = groth16.VerificationKey(
+        alpha_g1=pk.alpha_g1, beta_g2=pk.beta_g2, gamma_g2=g2p(1)[0],
+        delta_g2=pk.delta_g2, ic=g1p(n + 3),
+    )
+    spk = saver.SaverPublicKey(s_pts=g1p(n), x_psi=g1p(1)[0], y_pts=g1p(n))
+    outs = dict(
+        a=co.g1_to_device(g1p(B)), b1=co.g1_to_device(g1p(B)),
+        b2=co.g2_to_device(g2p(B)), l=co.g1_to_device(g1p(B)),
+        h=co.g1_to_device(g1p(B)),
+    )
+    outs = {k: jax.device_put(v) for k, v in outs.items()}
+    votes = [3, 17]
+
+    dev = ballot_dev.finalize_ballots_device(pk, spk, gvk, outs, votes, FrRandom(0xD1F))
+    monkeypatch.setenv("VSTPU_FINALIZE_HOST", "1")
+    host = ballot_dev.finalize_ballots_device(pk, spk, gvk, outs, votes, FrRandom(0xD1F))
+    assert len(dev) == len(host) == B
+    for (ct_d, p_d), (ct_h, p_h) in zip(dev, host):
+        assert ct_d.points == ct_h.points
+        assert (p_d.a, p_d.b, p_d.c) == (p_h.a, p_h.b, p_h.c)
+
+
+@pytest.mark.slow
 def test_device_tail_matches_host_tail(election, monkeypatch):
     ctx = phases.prepare_vote_context(
         2, 64, election["tree"], election["rt"], election["eid"],

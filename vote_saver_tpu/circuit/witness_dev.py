@@ -41,23 +41,29 @@ from ..ops.field_ops import fr_ops
 def batch_inv_axis(f, a, axis: int):
     """All-element inversion over `axis` with ONE Fermat exponentiation.
 
-    Hillis-Steele inclusive prefix and suffix products (log2 n mul rounds
-    each), a single f.inv on the total, then inv_i = pre_i * suf_i * total_inv.
-    ~4*log2(n) muls per element instead of ~380 (the Fermat chain) — the
-    inversion cost of a Pedersen gadget's affine conversion drops ~10x.
-    Zero entries produce garbage (callers guarantee nonzero, as with f.inv).
-    """
+    Hillis-Steele inclusive prefix and suffix products (log2 n mul rounds as
+    ONE lax.scan body — not log2 n inlined mul instances; XLA graph size is
+    what dominates this backend's compile time), a single f.inv on the
+    total, then inv_i = pre_i * suf_i * total_inv.  ~4*log2(n) muls per
+    element instead of ~380 (the Fermat chain).  Zero entries produce
+    garbage (callers guarantee nonzero, as with f.inv)."""
     a = jnp.moveaxis(a, axis, 0)
     n = a.shape[0]
     one = jnp.broadcast_to(jnp.asarray(f.one_mont), a.shape)
 
     def scan_prod(x):
         # inclusive running product along axis 0
-        shift = 1
-        while shift < n:
-            rolled = jnp.concatenate([one[:shift], x[:-shift]], axis=0)
-            x = f.mul(x, rolled)
-            shift *= 2
+        if n == 1:
+            return x
+        steps = (n - 1).bit_length()
+        shifts = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+        idx = jnp.arange(n).reshape((n,) + (1,) * (x.ndim - 1))
+
+        def body(xc, shift):
+            rolled = jnp.where(idx >= shift, jnp.roll(xc, shift, axis=0), one)
+            return f.mul(xc, rolled), None
+
+        x, _ = jax.lax.scan(body, x, shifts)
         return x
 
     incl = scan_prod(a)
@@ -253,45 +259,49 @@ class _Collector:
         return wit
 
 
-def _run_pedersen(f, jj, prog: _PedersenProg, bits, col: _Collector):
-    """bits: (B, nbits) int32.  Emits t/xw/add vars; returns the digest point
-    affine coords (ax, ay) (B, L) mont."""
+def _pedersen_core(f, jj, xs4, ys4, bits, W: int):
+    """Pure Pedersen gadget math on traced window tables.
+
+    bits: (B, nbits<=3W) int32; xs4/ys4: (W, 4, L) traced mont limbs.
+    Returns (t (B,W), xw (B,W,L), addvals (B,W-1,7,L) or None,
+    ax_last, ay_last)."""
     B = bits.shape[0]
-    W = prog.W
     pad = 3 * W - bits.shape[1]
     if pad:
         bits = jnp.concatenate([bits, jnp.zeros((B, pad), jnp.int32)], axis=1)
     s0, s1, s2 = bits[:, 0::3], bits[:, 1::3], bits[:, 2::3]  # (B, W)
     t = s0 * s1
-    col.bits(prog.t_idx, t)
 
     sel = s0 + 2 * s1  # (B, W)
-    xs4 = jnp.asarray(prog.xs4)  # (W, 4, L)
-    ys4 = jnp.asarray(prog.ys4)
     warange = jnp.arange(W)[None, :]
     x_sel = xs4[warange, sel]  # (B, W, L)
     y_sel = ys4[warange, sel]
     xw = f.select(s2 == 1, f.neg(x_sel), x_sel)
-    col.fields(prog.xw_idx, xw)
 
-    # extended coords of the window points; inclusive prefix sum over W
+    # extended coords of the window points; inclusive prefix sum over W as
+    # ONE scanned Hillis-Steele body (out-of-range partners -> identity)
     ident = jj.identity_like(xw)
     pts = (xw, y_sel, ident[1], f.mul(xw, y_sel))  # X, Y, Z=1, T=XY
-    shift = 1
-    while shift < W:
-        shifted = tuple(
-            jnp.concatenate([i[:, :shift], c[:, :-shift]], axis=1)
-            for i, c in zip(ident, pts)
-        )
-        added = jj.add(pts, shifted)
-        pts = added
-        shift *= 2
+    if W > 1:
+        steps = (W - 1).bit_length()
+        shifts = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
+        idx = jnp.arange(W).reshape(1, W, 1)
+
+        def body(pc, shift):
+            shifted = tuple(
+                jnp.where(idx >= shift, jnp.roll(c, shift, axis=1), i)
+                for i, c in zip(ident, pc)
+            )
+            return jj.add(pc, shifted), None
+
+        pts, _ = jax.lax.scan(body, pts, shifts)
 
     zinv = batch_inv_axis(f, pts[2], axis=1)
     ax = f.mul(pts[0], zinv)  # (B, W, L)
     ay = f.mul(pts[1], zinv)
 
-    if prog.add_idx.size:
+    vals = None
+    if W > 1:
         x1, y1 = ax[:, :-1], ay[:, :-1]
         x2, y2 = xw[:, 1:], y_sel[:, 1:]
         A = f.mul(x1, y2)
@@ -300,9 +310,20 @@ def _run_pedersen(f, jj, prog: _PedersenProg, bits, col: _Collector):
         D = f.mul(y1, y2)
         E = f.mul(C, D)
         vals = jnp.stack([A, Bv, C, D, E, ax[:, 1:], ay[:, 1:]], axis=2)
-        # (B, W-1, 7, L) -> scatter with idx (W-1, 7)
+    return t, xw, vals, ax[:, -1], ay[:, -1]
+
+
+def _run_pedersen(f, jj, prog: _PedersenProg, bits, col: _Collector):
+    """bits: (B, nbits) int32.  Emits t/xw/add vars; returns the digest point
+    affine coords (ax, ay) (B, L) mont."""
+    t, xw, vals, ax_l, ay_l = _pedersen_core(
+        f, jj, jnp.asarray(prog.xs4), jnp.asarray(prog.ys4), bits, prog.W
+    )
+    col.bits(prog.t_idx, t)
+    col.fields(prog.xw_idx, xw)
+    if prog.add_idx.size:
         col.fields(prog.add_idx, vals)
-    return ax[:, -1], ay[:, -1]
+    return ax_l, ay_l
 
 
 @functools.cache
@@ -311,15 +332,24 @@ def _lt_const_positions():
     return np.array([i for i in range(DIGEST_BITS - 1, -1, -1) if (c >> i) & 1], np.int32)
 
 
-def _run_decompose(f, prog: _DecompProg, x_mont, col: _Collector):
-    """x_mont (B, L) -> digest bits (B, 255) int32; emits bit + lt-t vars."""
+def _decompose_core(f, x_mont, lt_positions):
+    """x_mont (B, L) -> (digest bits (B, 255), lt-chain t values or None)."""
     x_std = f.from_mont(x_mont)
     bits = std_limbs_to_bits(x_std, DIGEST_BITS)  # (B, 255)
+    t_vals = None
+    if lt_positions is not None and lt_positions.size:
+        gathered = bits[:, lt_positions]  # (B, nset)
+        t_vals = jnp.cumprod(gathered, axis=1)
+    return bits, t_vals
+
+
+def _run_decompose(f, prog: _DecompProg, x_mont, col: _Collector):
+    """x_mont (B, L) -> digest bits (B, 255) int32; emits bit + lt-t vars."""
+    bits, t_vals = _decompose_core(
+        f, x_mont, prog.lt_positions if prog.canonical else None
+    )
     col.bits(prog.bits_idx, bits)
     if prog.canonical:
-        pos = prog.lt_positions  # MSB-first set-bit positions of R-1
-        gathered = bits[:, pos]  # (B, nset)
-        t_vals = jnp.cumprod(gathered, axis=1)
         col.bits(prog.lt_t_idx, t_vals)
     return bits
 
@@ -339,6 +369,21 @@ def _build_wgen(prog: _Program):
     f = fr_ops()
     jj = co.jj_ops()
 
+    # stacked per-level constants: every Merkle level shares one gadget shape
+    # (2*DIGEST_BITS input bits), so the whole tree walk runs as ONE scanned
+    # body instead of `depth` inlined copies of the largest Pedersen gadget —
+    # the depth-6 witness program was 724 s of XLA compile before this
+    lv_xs4 = np.stack([p.xs4 for p in prog.level_hash])
+    lv_ys4 = np.stack([p.ys4 for p in prog.level_hash])
+    lv_W = prog.level_hash[0].W
+    assert all(p.W == lv_W for p in prog.level_hash)
+    lv_lt_pos = prog.level_dec[0].lt_positions  # R-1 bit positions: constant
+    assert all(
+        np.array_equal(p.lt_positions, lv_lt_pos) for p in prog.level_dec
+    )
+    canon_lv = bool(prog.level_dec[0].canonical)
+    assert all(p.canonical == canon_lv for p in prog.level_dec)
+
     def wgen(vote_idx, eid_bits, sk_bits, addr_bits, sib_bits):
         B = vote_idx.shape[0]
         col = _Collector()
@@ -357,16 +402,38 @@ def _build_wgen(prog: _Program):
         leaf_x, _ = _run_pedersen(f, jj, prog.leaf_hash, pk_bits, col)
         cur = _run_decompose(f, prog.leaf_dec, leaf_x, col)
 
-        for l in range(prog.depth):
-            addr = addr_bits[:, l : l + 1]  # (B, 1)
-            sib = sib_bits[:, l]  # (B, 255)
-            left = jnp.where(addr == 1, sib, cur)
-            right = jnp.where(addr == 1, cur, sib)
-            col.bits(prog.left_idx[l], left)
-            lx, _ = _run_pedersen(
-                f, jj, prog.level_hash[l], jnp.concatenate([left, right], axis=1), col
+        def level_body(cur, xs):
+            xs4_k, ys4_k, addr_k, sib_k = xs
+            addr = addr_k[:, None]  # (B, 1)
+            left = jnp.where(addr == 1, sib_k, cur)
+            right = jnp.where(addr == 1, cur, sib_k)
+            t, xw, addvals, lx, _ = _pedersen_core(
+                f, jj, xs4_k, ys4_k,
+                jnp.concatenate([left, right], axis=1), lv_W,
             )
-            cur = _run_decompose(f, prog.level_dec[l], lx, col)
+            bits, ltt = _decompose_core(f, lx, lv_lt_pos if canon_lv else None)
+            outs = (left, t, xw, addvals, bits) + ((ltt,) if canon_lv else ())
+            return bits, outs
+
+        cur, lv = jax.lax.scan(
+            level_body,
+            cur,
+            (
+                jnp.asarray(lv_xs4),
+                jnp.asarray(lv_ys4),
+                jnp.moveaxis(addr_bits, 1, 0),
+                jnp.moveaxis(sib_bits, 1, 0),
+            ),
+        )
+        lv = [jnp.moveaxis(x, 0, 1) for x in lv]  # each (B, depth, ...)
+        left_s, t_s, xw_s, add_s, bits_s = lv[:5]
+        col.bits(prog.left_idx, left_s)
+        col.bits(np.stack([p.t_idx for p in prog.level_hash]), t_s)
+        col.fields(np.stack([p.xw_idx for p in prog.level_hash]), xw_s)
+        col.fields(np.stack([p.add_idx for p in prog.level_hash]), add_s)
+        col.bits(np.stack([p.bits_idx for p in prog.level_dec]), bits_s)
+        if canon_lv:
+            col.bits(np.stack([p.lt_t_idx for p in prog.level_dec]), lv[5])
 
         _run_packing(f, prog.rt_pack_idx, cur, col)
 

@@ -111,6 +111,8 @@ class FieldOps:
         hi = (p >> self.lb).astype(self.acc_dtype).reshape(*p.shape[:-2], L * L)
         # precision=HIGHEST is required on TPU: f32 matmuls default to bf16
         # passes, which silently round the (exact-integer) column sums.
+        # (An integer pad/reshape/sum anti-diagonal variant was tried in
+        # round 4 and compiled 7x SLOWER on the TPU backend — keep the dot.)
         cols = (
             jnp.matmul(lo, self.m_lo, preferred_element_type=self.acc_dtype,
                        precision=jax.lax.Precision.HIGHEST)

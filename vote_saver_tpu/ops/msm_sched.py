@@ -314,6 +314,27 @@ def _schedule_from_digits(digs, w, inf_mask, num_parts):
     return Schedule(codes, merge_idx, w, K // num_parts, lanes, total, num_parts)
 
 
+def unify_schedule_shapes(*schedules: "Schedule") -> None:
+    """Pad the given same-(K, w, parts) schedules to one common
+    (steps, lanes, rounds) shape IN PLACE, so every query MSM built from
+    them hits ONE compiled device program (each distinct schedule shape
+    otherwise costs its own multi-minute compile on the TPU backend).
+    Padding is zero codes / zero merge entries = idle lanes."""
+    assert len({(s.num_windows, s.window_bits, s.num_parts) for s in schedules}) == 1
+    steps = max(s.codes.shape[0] for s in schedules)
+    lanes = max(s.lanes for s in schedules)
+    rounds = max(s.merge_idx.shape[0] for s in schedules)
+    for s in schedules:
+        if (s.codes.shape, s.merge_idx.shape) == ((steps, lanes), (rounds, lanes)):
+            continue
+        c = np.zeros((steps, lanes), np.int32)
+        c[: s.codes.shape[0], : s.codes.shape[1]] = s.codes
+        m = np.zeros((rounds, lanes), np.int32)
+        if s.merge_idx.size:
+            m[: s.merge_idx.shape[0], : s.merge_idx.shape[1]] = s.merge_idx
+        s.codes, s.merge_idx, s.lanes = c, m, lanes
+
+
 def g1_affine_to_device(points):
     """Affine int points (None -> (0,0); excluded via schedule inf_mask)."""
     spec = fq_spec()

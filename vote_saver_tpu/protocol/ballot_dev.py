@@ -105,23 +105,28 @@ def _finalize_fn(B: int, n: int):
 
 
 def _const(pk: ProvingKey, spk: SaverPublicKey, gvk: VerificationKey) -> dict:
-    """Device constants for one (pk, spk) pair, cached on the proving key."""
+    """Constants for one (pk, spk) pair, cached on the proving key as HOST
+    arrays and re-device_put per call (a few KB; long-lived device buffers
+    fed to this graph have shown buffer-lifetime flakiness on the axon
+    tunnel backend — see finalize_ballots_device's retry ladder)."""
     cache = pk._dev.setdefault("ballot_dev", {})
     if cache.get("key") != id(spk):
         n = spk.n
         bases = [rc.g1_gen] + spk.s_pts + [spk.x_psi]
         cache.update(
             key=id(spk),
-            g1_fixed=jax.device_put(
-                co.g1_to_device([pk.delta_g1] * 3 + bases)
-            ),
-            alpha=jax.device_put(co.g1_to_device([pk.alpha_g1])),
-            beta1=jax.device_put(co.g1_to_device([pk.beta_g1])),
-            beta2=jax.device_put(co.g2_to_device([pk.beta_g2])),
-            delta2=jax.device_put(co.g2_to_device([pk.delta_g2])),
+            g1_fixed=co.g1_to_device([pk.delta_g1] * 3 + bases),
+            alpha=co.g1_to_device([pk.alpha_g1]),
+            beta1=co.g1_to_device([pk.beta_g1]),
+            beta2=co.g2_to_device([pk.beta_g2]),
+            delta2=co.g2_to_device([pk.delta_g2]),
             p_bases=message_bases(gvk, n),
         )
-    return cache
+    return {
+        k: (jax.device_put(v) if k in
+            ("g1_fixed", "alpha", "beta1", "beta2", "delta2") else v)
+        for k, v in cache.items()
+    }
 
 
 def finalize_ballots_device(
@@ -138,6 +143,9 @@ def finalize_ballots_device(
     saver.rerandomize_many) byte-for-byte under the same seeded rng."""
     B = len(votes)
     n = spk.n
+    co.g1_ops()  # constructs FieldOps first: on the 32-bit limb layout this
+    # enables jax x64 BEFORE any device_put below (uint64 uploads would
+    # otherwise silently downcast to uint32)
     const = _const(pk, spk, gvk)
 
     # randomness, in the host path's exact draw order
@@ -180,13 +188,55 @@ def finalize_ballots_device(
         co.g1_to_device(e_flat),
     )
 
+    import os
+
+    if os.environ.get("VSTPU_FINALIZE_HOST"):
+        # forced host arm (tests/diagnostics)
+        return _finalize_host(
+            pk, spk, gvk, outs, votes,
+            dict(rs=rs, u=u, sz=sz, z1inv=z1inv,
+                 z1=[z[0] for z in zs], z1sz=z1sz),
+        )
+
+    # round-trip the (tiny: 5 x (B,) points) MSM outputs through the host:
+    # feeding another program's output buffers straight into this graph
+    # triggers a deterministic InvalidArgument on its 2nd execution on the
+    # axon tunnel backend, while host-materialised inputs are stable (the
+    # isolated-finalize repro passes; the full pipeline without this fails)
+    outs = {k: jax.device_put(jax.device_get(v)) for k, v in outs.items()}
+
     fn = _finalize_fn(B, n)
-    a_fin, b_fin, c_fin, ct = fn(
-        const["g1_fixed"], const["alpha"], const["beta1"], const["beta2"],
-        const["delta2"], e_dev,
-        outs["a"], outs["b1"], outs["b2"], outs["l"], outs["h"],
-        jnp.asarray(digits1), jnp.asarray(digits2), jnp.asarray(digits_g2),
-    )
+
+    def run():
+        return fn(
+            const["g1_fixed"], const["alpha"], const["beta1"], const["beta2"],
+            const["delta2"], e_dev,
+            outs["a"], outs["b1"], outs["b2"], outs["l"], outs["h"],
+            jnp.asarray(digits1), jnp.asarray(digits2), jnp.asarray(digits_g2),
+        )
+
+    a_fin, b_fin, c_fin, ct = run()
+    try:
+        jax.block_until_ready((a_fin, b_fin, c_fin, ct))
+    except Exception as e:  # pragma: no cover - axon backend flakiness
+        import sys
+
+        print(f"[ballot_dev] finalize retry after: {e!r}", file=sys.stderr)
+        try:
+            a_fin, b_fin, c_fin, ct = run()
+            jax.block_until_ready((a_fin, b_fin, c_fin, ct))
+        except Exception as e2:
+            # the axon tunnel deterministically rejects re-execution of this
+            # graph after the big prover programs have run (isolated
+            # re-execution is fine — see the repro scripts); finish the
+            # ballots with the SAME drawn scalars on the host instead:
+            # byte-identical output, bounded cost (B x ~35 native muls)
+            print(f"[ballot_dev] finalize on host after: {e2!r}", file=sys.stderr)
+            return _finalize_host(
+                pk, spk, gvk, outs, votes,
+                dict(rs=rs, u=u, sz=sz, z1inv=z1inv,
+                     z1=[z[0] for z in zs], z1sz=z1sz),
+            )
 
     a_aff = co.g1_from_device(a_fin)
     b_aff = co.g2_from_device(b_fin)
@@ -199,4 +249,57 @@ def finalize_ballots_device(
         proof = Proof(a=a_aff[i], b=b_aff[i], c=c_aff[i])
         cti = Ciphertext(ct_flat[i * (n + 2) : (i + 1) * (n + 2)])
         out.append((cti, proof))
+    return out
+
+
+def _finalize_host(pk, spk, gvk, outs, votes, sc) -> list[tuple[Ciphertext, Proof]]:
+    """Host-native tail with externally supplied scalars — the fallback arm
+    of finalize_ballots_device (and its differential oracle in
+    tests/test_ballot_dev.py).  Identical algebra, rj-native pointwise muls."""
+    from ..refimpl import jacobian as rj
+
+    B = len(votes)
+    n = spk.n
+    a_h = co.g1_from_device(outs["a"])
+    b1_h = co.g1_from_device(outs["b1"])
+    b2_h = co.g2_from_device(outs["b2"])
+    l_h = co.g1_from_device(outs["l"])
+    h_h = co.g1_from_device(outs["h"])
+
+    rs = sc["rs"]
+    d1 = rj.g1_mul_many(
+        [pk.delta_g1] * (3 * B),
+        [r % R for r, _ in rs] + [s % R for _, s in rs]
+        + [r * s % R for r, s in rs],
+    )
+    bases = [rc.g1_gen] + spk.s_pts + [spk.x_psi]
+    u_scalars: list[int] = []
+    for i in range(B):
+        u_scalars.extend([sc["u"][i]] * (n + 2))
+    ct0 = rj.g1_mul_many(bases * B, u_scalars)
+
+    a_bl = [rc.g1_add(rc.g1_add(pk.alpha_g1, a_h[i]), d1[i]) for i in range(B)]
+    b1_bl = [
+        rc.g1_add(rc.g1_add(pk.beta_g1, b1_h[i]), d1[B + i]) for i in range(B)
+    ]
+    r2 = rj.g1_mul_many(
+        a_bl + b1_bl + a_bl, sc["sz"] + [r % R for r, _ in rs] + sc["z1inv"]
+    )
+    b2s = [rc.g2_add(pk.beta_g2, b2_h[i]) for i in range(B)]
+    g2r = rj.g2_mul_many(b2s + [pk.delta_g2] * B, sc["z1"] + sc["z1sz"])
+
+    p_bases = message_bases(gvk, n)
+    out = []
+    for i in range(B):
+        a_fin = r2[2 * B + i]
+        b_fin = rc.g2_add(g2r[i], g2r[B + i])
+        c_fin = rc.g1_add(
+            rc.g1_add(rc.g1_add(l_h[i], h_h[i]), r2[i]),
+            rc.g1_add(r2[B + i], rc.g1_neg(d1[2 * B + i])),
+        )
+        seg = list(ct0[i * (n + 2) : (i + 1) * (n + 2)])
+        v = votes[i]
+        seg[1 + v] = rc.g1_add(seg[1 + v], p_bases[v])
+        seg[n + 1] = rc.g1_add(seg[n + 1], spk.y_pts[v])
+        out.append((Ciphertext(seg), Proof(a=a_fin, b=b_fin, c=c_fin)))
     return out

@@ -300,14 +300,24 @@ def _h_coeffs_device(pk: ProvingKey):
 
 def _devaff(pk: ProvingKey, name: str):
     """Device AFFINE point arrays for the scheduled MSM (x, y); infinity is
-    encoded (0,0) and skipped inside the madd kernel."""
+    encoded (0,0) and skipped inside the madd kernel.  All G1 query arrays
+    are zero-padded to one common length so a/b1/l/h share ONE compiled MSM
+    program (each distinct point-array shape otherwise costs its own
+    multi-minute TPU compile)."""
     d = pk._dev.setdefault("devaff", {})
     if name not in d:
         from ..ops import msm_sched as ms
 
         pts = getattr(pk, f"{name}_pts")
         conv = ms.g2_affine_to_device if name == "b2" else ms.g1_affine_to_device
-        d[name] = jax.device_put(conv(pts))
+        arrs = conv(pts)
+        if name != "b2":
+            n_max = max(len(pk.a_pts), pk.domain - 1)
+            pad = n_max - arrs[0].shape[0]
+            if pad:
+                widths = ((0, pad),) + ((0, 0),) * (arrs[0].ndim - 1)
+                arrs = tuple(np.pad(a, widths) for a in arrs)
+        d[name] = jax.device_put(arrs)
     return d[name]
 
 
@@ -422,6 +432,9 @@ def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list):
     sch_w = ms.build_schedule_multi(w_limbs)
     sch_aux = ms.build_schedule_multi(aux_limbs)
     sch_h = ms.build_schedule_multi(h_limbs)
+    # one common shape -> one compiled G1 program for a/b1/l/h (and the G2
+    # program shares sch_w's shape); distinct shapes each cost a compile
+    ms.unify_schedule_shapes(sch_w, sch_aux, sch_h)
     t0 = _trace("schedules", t0)
 
     def fb(name, group, limbs_list):
