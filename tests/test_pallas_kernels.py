@@ -194,6 +194,7 @@ def test_emitter_g1_madd(env16):
     assert bool(np.asarray(exc).all())
 
 
+@pytest.mark.slow  # interpret-mode pallas_call: multi-minute XLA compile on the 2-core rig
 def test_pallas_call_g1_plumbing(env16):
     """Interpret-mode pallas_call round trip: mont_mul + g1 double + madd."""
     params, lb, pf, co, rc = (

@@ -258,13 +258,27 @@ def _finalize_host(pk, spk, gvk, outs, votes, sc) -> list[tuple[Ciphertext, Proo
     tests/test_ballot_dev.py).  Identical algebra, rj-native pointwise muls."""
     from ..refimpl import jacobian as rj
 
+    import time
+
     B = len(votes)
     n = spk.n
-    a_h = co.g1_from_device(outs["a"])
-    b1_h = co.g1_from_device(outs["b1"])
-    b2_h = co.g2_from_device(outs["b2"])
-    l_h = co.g1_from_device(outs["l"])
-    h_h = co.g1_from_device(outs["h"])
+
+    def _fetch(conv, arr):
+        # tunnel fetches can fail transiently when the host is saturated;
+        # short backoff turns that into a delay instead of a dead prover
+        for attempt in range(3):
+            try:
+                return conv(arr)
+            except Exception:  # pragma: no cover - axon backend flakiness
+                if attempt == 2:
+                    raise
+                time.sleep(10.0)
+
+    a_h = _fetch(co.g1_from_device, outs["a"])
+    b1_h = _fetch(co.g1_from_device, outs["b1"])
+    b2_h = _fetch(co.g2_from_device, outs["b2"])
+    l_h = _fetch(co.g1_from_device, outs["l"])
+    h_h = _fetch(co.g1_from_device, outs["h"])
 
     rs = sc["rs"]
     d1 = rj.g1_mul_many(
