@@ -332,12 +332,18 @@ def _trace(label: str, t0: float):
 
 def _devaff_padded(pk: ProvingKey, name: str, d: int):
     """_devaff coords padded so the point count divides the mesh axis size
-    (pad points are (0, 0) = the madd kernel's infinity encoding)."""
+    (pad points are (0, 0) = the madd kernel's infinity encoding).
+
+    NB: starts from the TRUE point count, not _devaff's length-unified
+    arrays — the sharded path splits schedules by the scalar count, so the
+    point shards must align with those offsets."""
     cache = pk._dev.setdefault("devaff_pad", {})
     key = (name, d)
     if key not in cache:
         x, y = _devaff(pk, name)
-        pad = (-x.shape[0]) % d
+        true_n = len(getattr(pk, f"{name}_pts"))
+        x, y = x[:true_n], y[:true_n]
+        pad = (-true_n) % d
         if pad:
             widths = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
             x, y = jnp.pad(x, widths), jnp.pad(y, widths)
