@@ -61,7 +61,8 @@ def test_sharded_corner_falls_back_to_var_base(monkeypatch):
         return inf, jax.numpy.uint32(1)
 
     monkeypatch.setattr(sharded, "sharded_msm_scheduled", fake_sharded_msm)
-    a, b1, b2, l, h = groth16._prove_msms_sharded(pk, w_limbs, h_limbs, mesh)
+    outs = groth16._prove_msms_sharded(pk, w_limbs, h_limbs, mesh)
+    a, b1, b2, l, h = groth16._msms_from_device(outs)
 
     aux_ints = w_ints[0][pk.num_primary + 1 :]
     assert a[0] == rj.msm_host(pk.a_pts, w_ints[0])
