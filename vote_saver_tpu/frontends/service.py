@@ -88,6 +88,19 @@ def handle(request: dict) -> dict:
 
 
 def main():
+    import os
+
+    # embedder processes are short-lived; reuse compiled programs across
+    # them when the host names a persistent cache dir
+    cache = os.environ.get("VSTPU_COMPILE_CACHE")
+    if cache:
+        try:
+            import jax
+
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+        except Exception:
+            pass
     for line in sys.stdin:
         line = line.strip()
         if not line:

@@ -26,6 +26,10 @@ seeded FrRandom produces byte-identical ballots on either path.
 
 from __future__ import annotations
 
+import os
+import sys
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +53,52 @@ def _bcast(coords, B):
 
 
 _FN_CACHE: dict = {}
+
+# Finalize-arm telemetry (round-4 VERDICT weak #7): which arm served each
+# batch, and how often the device graph failed over.  bench.py / scale_run.py
+# surface these in their records so a silent host fallback can never
+# masquerade as device-tail throughput.
+STATS = {"device": 0, "host": 0, "device_failures": 0}
+
+# Sticky device-arm kill switch: once the finalize graph has failed in this
+# process, later batches go straight to the host arm (each failed attempt
+# costs a retry ladder AND risks poisoning the axon tunnel for every
+# subsequent fetch — round-4 BENCH went rc=1 exactly that way).
+_DEVICE_STICKY_OFF = False
+
+
+def _arm() -> str:
+    """Arm policy: VSTPU_FINALIZE = device | host | auto (default).
+
+    auto = device graph with sticky host fallback on non-TPU backends; on
+    the axon TPU backend the HOST arm is the default until the deterministic
+    INVALID_ARGUMENT on the finalize graph after the big prover programs is
+    root-caused (round-4 VERDICT item 1c) — a broken kernel must cost
+    throughput, never the round's evidence.  VSTPU_FINALIZE_HOST=1 is the
+    legacy spelling of host."""
+    v = os.environ.get("VSTPU_FINALIZE", "").strip().lower()
+    if not v and os.environ.get("VSTPU_FINALIZE_HOST"):
+        v = "host"
+    if v in ("device", "host", "auto"):
+        return v
+    return "host" if jax.default_backend() == "tpu" else "auto"
+
+
+def _device_get_retry(outs: dict) -> dict:
+    """Fetch the five (tiny: (B,) points) MSM outputs to host numpy ONCE.
+
+    Transient tunnel-fetch failures get a short backoff; the returned host
+    copies are what BOTH arms consume afterwards, so a later device-graph
+    failure can never force a fetch through a poisoned tunnel (round-4
+    VERDICT item 1b: the host arm died re-fetching at ballot_dev.py:277
+    what had already been materialised at :206)."""
+    for attempt in range(3):
+        try:
+            return {k: jax.device_get(v) for k, v in outs.items()}
+        except Exception:  # pragma: no cover - axon backend flakiness
+            if attempt == 2:
+                raise
+            time.sleep(10.0)
 
 
 def _finalize_fn(B: int, n: int):
@@ -141,12 +191,19 @@ def finalize_ballots_device(
     ballot, all group work on device.  Matches the host path
     (groth16._blind_and_assemble -> saver.encrypt_many ->
     saver.rerandomize_many) byte-for-byte under the same seeded rng."""
+    global _DEVICE_STICKY_OFF
     B = len(votes)
     n = spk.n
     co.g1_ops()  # constructs FieldOps first: on the 32-bit limb layout this
     # enables jax x64 BEFORE any device_put below (uint64 uploads would
     # otherwise silently downcast to uint32)
-    const = _const(pk, spk, gvk)
+
+    # host-materialise the (tiny: 5 x (B,) points) MSM outputs ONCE, up
+    # front: the device graph needs the round trip anyway (feeding another
+    # program's output buffers straight in trips a deterministic
+    # InvalidArgument on the axon tunnel), and the host arm must never have
+    # to fetch through a tunnel a failed device attempt may have poisoned
+    outs_host = _device_get_retry(outs)
 
     # randomness, in the host path's exact draw order
     rs = [(rng(), rng()) for _ in range(B)]                 # blinding (r, s)
@@ -163,6 +220,15 @@ def finalize_ballots_device(
     sz = [(rs[i][1] + zs[i][1]) % R for i in range(B)]
     z1inv = [pow(zs[i][0], R - 2, R) for i in range(B)]
     z1sz = [zs[i][0] * sz[i] % R for i in range(B)]
+    sc = dict(rs=rs, u=u, sz=sz, z1inv=z1inv,
+              z1=[z[0] for z in zs], z1sz=z1sz)
+
+    arm = _arm()
+    if arm == "host" or (arm == "auto" and _DEVICE_STICKY_OFF):
+        STATS["host"] += 1
+        return _finalize_host(pk, spk, gvk, outs_host, votes, sc)
+
+    const = _const(pk, spk, gvk)
 
     scal1: list[int] = []
     for i in range(B):
@@ -188,30 +254,15 @@ def finalize_ballots_device(
         co.g1_to_device(e_flat),
     )
 
-    import os
-
-    if os.environ.get("VSTPU_FINALIZE_HOST"):
-        # forced host arm (tests/diagnostics)
-        return _finalize_host(
-            pk, spk, gvk, outs, votes,
-            dict(rs=rs, u=u, sz=sz, z1inv=z1inv,
-                 z1=[z[0] for z in zs], z1sz=z1sz),
-        )
-
-    # round-trip the (tiny: 5 x (B,) points) MSM outputs through the host:
-    # feeding another program's output buffers straight into this graph
-    # triggers a deterministic InvalidArgument on its 2nd execution on the
-    # axon tunnel backend, while host-materialised inputs are stable (the
-    # isolated-finalize repro passes; the full pipeline without this fails)
-    outs = {k: jax.device_put(jax.device_get(v)) for k, v in outs.items()}
-
+    outs_dev = {k: jax.device_put(v) for k, v in outs_host.items()}
     fn = _finalize_fn(B, n)
 
     def run():
         return fn(
             const["g1_fixed"], const["alpha"], const["beta1"], const["beta2"],
             const["delta2"], e_dev,
-            outs["a"], outs["b1"], outs["b2"], outs["l"], outs["h"],
+            outs_dev["a"], outs_dev["b1"], outs_dev["b2"], outs_dev["l"],
+            outs_dev["h"],
             jnp.asarray(digits1), jnp.asarray(digits2), jnp.asarray(digits_g2),
         )
 
@@ -219,25 +270,21 @@ def finalize_ballots_device(
     try:
         jax.block_until_ready((a_fin, b_fin, c_fin, ct))
     except Exception as e:  # pragma: no cover - axon backend flakiness
-        import sys
-
         print(f"[ballot_dev] finalize retry after: {e!r}", file=sys.stderr)
         try:
             a_fin, b_fin, c_fin, ct = run()
             jax.block_until_ready((a_fin, b_fin, c_fin, ct))
         except Exception as e2:
-            # the axon tunnel deterministically rejects re-execution of this
-            # graph after the big prover programs have run (isolated
-            # re-execution is fine — see the repro scripts); finish the
-            # ballots with the SAME drawn scalars on the host instead:
-            # byte-identical output, bounded cost (B x ~35 native muls)
+            # finish the ballots with the SAME drawn scalars on the host:
+            # byte-identical output, bounded cost (B x ~35 native muls) —
+            # and stick to the host arm for the rest of the process
             print(f"[ballot_dev] finalize on host after: {e2!r}", file=sys.stderr)
-            return _finalize_host(
-                pk, spk, gvk, outs, votes,
-                dict(rs=rs, u=u, sz=sz, z1inv=z1inv,
-                     z1=[z[0] for z in zs], z1sz=z1sz),
-            )
+            STATS["device_failures"] += 1
+            STATS["host"] += 1
+            _DEVICE_STICKY_OFF = True
+            return _finalize_host(pk, spk, gvk, outs_host, votes, sc)
 
+    STATS["device"] += 1
     a_aff = co.g1_from_device(a_fin)
     b_aff = co.g2_from_device(b_fin)
     c_aff = co.g1_from_device(c_fin)
@@ -255,30 +302,20 @@ def finalize_ballots_device(
 def _finalize_host(pk, spk, gvk, outs, votes, sc) -> list[tuple[Ciphertext, Proof]]:
     """Host-native tail with externally supplied scalars — the fallback arm
     of finalize_ballots_device (and its differential oracle in
-    tests/test_ballot_dev.py).  Identical algebra, rj-native pointwise muls."""
-    from ..refimpl import jacobian as rj
+    tests/test_ballot_dev.py).  Identical algebra, rj-native pointwise muls.
 
-    import time
+    `outs` is expected to hold HOST (numpy) limb arrays — the caller fetched
+    them once up front — so this arm never touches the device again."""
+    from ..refimpl import jacobian as rj
 
     B = len(votes)
     n = spk.n
 
-    def _fetch(conv, arr):
-        # tunnel fetches can fail transiently when the host is saturated;
-        # short backoff turns that into a delay instead of a dead prover
-        for attempt in range(3):
-            try:
-                return conv(arr)
-            except Exception:  # pragma: no cover - axon backend flakiness
-                if attempt == 2:
-                    raise
-                time.sleep(10.0)
-
-    a_h = _fetch(co.g1_from_device, outs["a"])
-    b1_h = _fetch(co.g1_from_device, outs["b1"])
-    b2_h = _fetch(co.g2_from_device, outs["b2"])
-    l_h = _fetch(co.g1_from_device, outs["l"])
-    h_h = _fetch(co.g1_from_device, outs["h"])
+    a_h = co.g1_from_device(outs["a"])
+    b1_h = co.g1_from_device(outs["b1"])
+    b2_h = co.g2_from_device(outs["b2"])
+    l_h = co.g1_from_device(outs["l"])
+    h_h = co.g1_from_device(outs["h"])
 
     rs = sc["rs"]
     d1 = rj.g1_mul_many(

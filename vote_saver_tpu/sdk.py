@@ -27,11 +27,16 @@ class VoterKeypair:
 
 @dataclasses.dataclass
 class AdminKeys:
+    """The admin keygen bundle.  Non-admin embedders (the mobile/WASM voter
+    clients) hold only the public parts, so everything past the CRS pair
+    defaults to empty: generate_vote needs public_key, verify_tally needs
+    verification_key, and only tally_votes (admin-side) needs secret_key."""
+
     r1cs_proving_key: bytes
     r1cs_verification_key: bytes
-    public_key: bytes        # SAVER pk_eid
-    secret_key: bytes        # SAVER sk_eid
-    verification_key: bytes  # SAVER vk_eid
+    public_key: bytes = b""        # SAVER pk_eid
+    secret_key: bytes = b""        # SAVER sk_eid
+    verification_key: bytes = b""  # SAVER vk_eid
 
 
 @dataclasses.dataclass
