@@ -182,17 +182,18 @@ def bench_msm(extra: dict):
     t_sched = time.time() - t0
     pxy = jax.device_put(ms.g1_affine_to_device(pts))
     codes = jax.device_put(sched.codes)
-    mi = jax.device_put(sched.merge_idx)
+    mp = jax.device_put(sched.merge_part)
+    mg = jax.device_put(sched.merge_gather)
     fn = ms._msm_device_jit("g1", sched.num_windows, sched.window_bits)
     t0 = time.time()
-    res, exc = fn(pxy, codes, mi)
+    res, exc = fn(pxy, codes, mp, mg)
     np.asarray(res[0])
     log(f"[bench] msm compile+first: {time.time()-t0:.1f}s; "
         f"host schedule {t_sched*1e3:.0f}ms; exc={bool(np.asarray(exc))}")
     reps = 5
     t0 = time.time()
     for _ in range(reps):
-        res, _e = fn(pxy, codes, mi)
+        res, _e = fn(pxy, codes, mp, mg)
         np.asarray(res[0])
     msm_dt = (time.time() - t0) / reps
     # correctness: the device result must equal the host-oracle MSM on the

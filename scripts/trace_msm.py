@@ -2,6 +2,7 @@
 per-phase (bucket scan / merge / suffix+total / horner) timing for the real
 depth-6 B=16 shapes."""
 
+import os
 import pathlib
 import random
 import sys
@@ -22,17 +23,27 @@ from vote_saver_tpu.ops import limbs as lb, msm_sched as ms
 from vote_saver_tpu.protocol import phases
 
 
+def _force(out):
+    """block_until_ready is a no-op on the axon backend (async dispatch);
+    only a host fetch actually drains the queue."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
+
+
 def timed(fn, *a):
     out = fn(*a)
-    jax.block_until_ready(out)
+    _force(out)
     t0 = time.time()
     out = fn(*a)
-    jax.block_until_ready(out)
+    _force(out)
     return out, time.time() - t0
 
 
 def main():
     depth, B = 6, 16
+    W = int(sys.argv[1]) if len(sys.argv) > 1 else ms.default_window_bits()
+    os.environ["VSTPU_MSM_W"] = str(W)
+    print(f"=== window_bits={W} ===")
     blobs = bench._election_artifacts(depth, 64, B)
     ctx = phases.prepare_vote_context(
         depth, 64, blobs["tree"], blobs["rt"], blobs["eid"],
@@ -57,7 +68,7 @@ def main():
         sch = ms.build_schedule_multi(ll)
         print(f"sched[{name}]: steps={sch.codes.shape[0]} lanes={sch.lanes} "
               f"windows={sch.num_windows} parts={sch.num_parts} "
-              f"entries={sch.total_entries} merge_rounds={sch.merge_idx.shape[0]} "
+              f"entries={sch.total_entries} orphans={int((sch.merge_gather != 0).sum())} "
               f"build={time.time()-t0:.2f}s")
         if name == "w":
             sch_w = sch
@@ -68,6 +79,18 @@ def main():
 
     from vote_saver_tpu.protocol.groth16 import _devaff
 
+    # tunnel upload bandwidth probe: the per-batch codes matrices are the
+    # big per-rep host->device transfer
+    for nm, sch in (("w", sch_w), ("h", sch_h)):
+        arr = np.ascontiguousarray(sch.codes)
+        t0 = time.time()
+        d = jax.device_put(arr)
+        jax.block_until_ready(d)
+        dt = time.time() - t0
+        mb = arr.nbytes / 1e6
+        print(f"upload codes[{nm}]: {mb:.1f} MB in {dt:.2f}s = {mb/dt:.1f} MB/s",
+              flush=True)
+
     # full per-query timing
     for qname, group, sch in (("a", "g1", sch_w), ("b1", "g1", sch_w),
                               ("b2", "g2", sch_w), ("l", "g1", sch_aux),
@@ -77,53 +100,60 @@ def main():
         (res, exc), dt = timed(fn)
         print(f"msm[{qname}] full: {dt:.2f}s")
 
-    # phase split for the 'a' query: bucket scan only vs suffix vs horner
-    sch = sch_w
-    ops = ms._ops("g1")
-    K, w, parts = sch.num_windows, sch.window_bits, sch.num_parts
-    pts = _devaff(pk, "a")
-    codes = jnp.asarray(sch.codes)
-    merge = jnp.asarray(sch.merge_idx)
+    # phase split (bucket scan / suffix / horner); G2 split only on --g2 (its
+    # bucket-scan program is a fresh ~400 s compile on the axon backend)
+    splits = [("a", "g1")] + ([("b2", "g2")] if "--g2" in sys.argv else [])
+    for qname, group in splits:
+        sch = sch_w
+        ops = ms._ops(group)
+        g2 = group == "g2"
+        K, w, parts = sch.num_windows, sch.window_bits, sch.num_parts
+        pts = _devaff(pk, qname)
+        codes = jnp.asarray(sch.codes)
 
-    madd = ms._madd("g1")
-    bw = 1 << (w - 1)
+        madd = ms._madd(group)
+        bw = 1 << (w - 1)
 
-    @jax.jit
-    def bucket_only(pxy, codes):
-        lanes = codes.shape[1]
-        acc = ms._infinity(ops, lanes, False)
-        exc0 = jnp.zeros((lanes,), jnp.uint32)
-        px, py = pxy
+        @jax.jit
+        def bucket_only(pxy, codes):
+            lanes = codes.shape[1]
+            acc = ms._infinity(ops, lanes, g2)
+            exc0 = jnp.zeros((lanes,), jnp.uint32)
+            px, py = pxy
 
-        def body(carry, code_row):
-            acc, exc = carry
-            active = code_row != 0
-            sign = (code_row >> 30) & 1
-            pidx = jnp.maximum((code_row & ms._IDX_MASK) - 1, 0)
-            qx = jnp.take(px, pidx, axis=0)
-            qy = jnp.take(py, pidx, axis=0)
-            acc, e = madd(acc, (qx, qy), sign.astype(bool), active)
-            return (acc, exc | e), None
+            def body(carry, code_row):
+                acc, exc = carry
+                active = code_row != 0
+                sign = (code_row >> 30) & 1
+                pidx = jnp.maximum((code_row & ms._IDX_MASK) - 1, 0)
+                qx = jnp.take(px, pidx, axis=0)
+                qy = jnp.take(py, pidx, axis=0)
+                acc, e = madd(acc, (qx, qy), sign.astype(bool), active)
+                return (acc, exc | e), None
 
-        (acc, exc), _ = jax.lax.scan(body, (acc, exc0), codes)
-        return acc
+            (acc, exc), _ = jax.lax.scan(body, (acc, exc0), codes)
+            return acc
 
-    acc, dt = timed(bucket_only, pts, codes)
-    print(f"a: bucket scan ({sch.codes.shape[0]} steps x {sch.lanes} lanes): {dt:.2f}s")
+        acc, dt = timed(bucket_only, pts, codes)
+        print(f"{qname}: bucket scan ({sch.codes.shape[0]} steps x "
+              f"{sch.lanes} lanes): {dt:.2f}s", flush=True)
 
-    @jax.jit
-    def suffix_only(acc):
-        return ms._suffix_and_total(ops, acc, K * parts, bw)
+        addx = ms._addx(group)
 
-    sums, dt = timed(suffix_only, acc)
-    print(f"a: suffix+total ({K*parts} windows x {bw} buckets): {dt:.2f}s")
+        @jax.jit
+        def suffix_only(acc):
+            return ms._suffix_and_total(ops, addx, acc, K * parts, bw)
 
-    @jax.jit
-    def horner_only(sums):
-        return ms._horner(ops, sums, w, parts)
+        (sums, _e), dt = timed(suffix_only, acc)
+        print(f"{qname}: suffix+total ({K*parts} windows x {bw} buckets): "
+              f"{dt:.2f}s", flush=True)
 
-    _, dt = timed(horner_only, sums)
-    print(f"a: horner: {dt:.2f}s")
+        @jax.jit
+        def horner_only(sums):
+            return ms._horner(ops, addx, sums, w, parts)
+
+        _, dt = timed(horner_only, sums)
+        print(f"{qname}: horner: {dt:.2f}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -51,7 +51,7 @@ def main():
         msm_sched.build_schedule(ks[i * shard : (i + 1) * shard], 5, scalar_bits=40)
         for i in range(d)
     ]
-    codes, merges = sharded.pad_schedules(scheds)
+    codes, parts_, gathers = sharded.pad_schedules(scheds)
     px, py = msm_sched.g1_affine_to_device(pts)
     px, py = np.asarray(px), np.asarray(py)
 
@@ -60,13 +60,14 @@ def main():
         return jax.make_array_from_callback(arr.shape, sh, lambda idx: arr[idx])
 
     gx, gy = gput(px, P("points")), gput(py, P("points"))
-    gc, gm = gput(codes, P("points")), gput(merges, P("points"))
+    gc = gput(codes, P("points"))
+    gp, gg = gput(parts_, P("points")), gput(gathers, P("points"))
 
     fn = sharded.sharded_msm_scheduled_fn(
         mesh, "g1", scheds[0].num_windows, scheds[0].window_bits, scheds[0].num_parts
     )
     with mesh:
-        res, excn = fn((gx, gy), gc, gm)
+        res, excn = fn((gx, gy), gc, gp, gg)
     res = tuple(np.asarray(c) for c in res)  # replicated -> addressable
     got = co.g1_from_device(tuple(c[0] for c in res))
     want = rj.msm_host(pts, ks)

@@ -48,7 +48,7 @@ def walk_points(n, seed=3):
 
 def replay_accumulate(sch: ms.Schedule, pts):
     """Host-int replay of _msm_device's bucket accumulation (codes scan +
-    orphan merges) -> per-lane Jacobian accumulators."""
+    segmented orphan tree-merge + head gather) -> canonical accumulators."""
     acc = [None] * sch.lanes
     for row in sch.codes:
         for lane in np.nonzero(row)[0]:
@@ -59,9 +59,16 @@ def replay_accumulate(sch: ms.Schedule, pts):
             if (code >> 30) & 1:
                 p = (p[0], (Q - p[1]) % Q)
             acc[lane] = rj.jac_add(acc[lane], rj.jac_from_affine(p))
-    for row in sch.merge_idx:
-        for lane in np.nonzero(row)[0]:
-            acc[lane] = rj.jac_add(acc[lane], acc[int(row[lane]) - 1])
+    canon = sch.merge_gather.shape[0]
+    orph = acc[canon:]
+    for row in sch.merge_part:
+        new = list(orph)
+        for o in np.nonzero(row)[0]:
+            new[o] = rj.jac_add(orph[o], orph[int(row[o]) - 1])
+        orph = new
+    acc = acc[:canon]
+    for b in np.nonzero(sch.merge_gather)[0]:
+        acc[b] = rj.jac_add(acc[b], orph[int(sch.merge_gather[b]) - 1])
     return acc
 
 
@@ -136,7 +143,6 @@ def device_accumulate(sch: ms.Schedule, pts):
 
 def sched_for(pts, limbs_list, env, w=5):
     os.environ["VSTPU_SCHED"] = env
-    ms._SHAPE_MEMO.clear()
     inf_mask = np.array([p is None for p in pts])
     return ms.build_schedule_multi(limbs_list, w, inf_mask)
 
@@ -168,7 +174,7 @@ def main():
     s_hot = [s1[0]] * n
     lh = msm_mod.scalars_to_limbs(s_hot)
     sch = sched_for(pts, [lh], "native")
-    assert sch.merge_idx.shape[0] > 0, "expected orphan merge rounds"
+    assert sch.merge_gather.any(), "expected orphan merge runs"
     out = replay_schedule(sch, pts)
     assert out[0] == rj.msm_host(pts, s_hot), "orphan path wrong"
     print("CHECK orphan-spill ok")
@@ -178,9 +184,8 @@ def main():
     tiny = walk_points(8, seed=5)
     trng = random.Random(7)
     tsc = [trng.randrange(1, 1 << 20) for _ in range(8)]
-    ms._SHAPE_MEMO.clear()
     sch = ms.build_schedule(tsc, 5, np.array([False] * 8), scalar_bits=20)
-    assert sch.merge_idx.shape[0] == 0, "tiny shape should not spill orphans"
+    assert not sch.merge_gather.any(), "tiny shape should not spill orphans"
     acc_jac, exc = device_accumulate(sch, tiny)
     assert not exc, "tiny MSM flagged exceptional"
     got = replay_combine(sch, acc_jac)[0]
@@ -192,7 +197,6 @@ def main():
     # value -> the exc flag fires, and msm_scheduled invokes the fallback
     dpts = [tiny[0], tiny[0]]
     dsc = [3, 3]
-    ms._SHAPE_MEMO.clear()
     sch = ms.build_schedule(dsc, 5, np.array([False] * 2), scalar_bits=10)
     _acc, exc = device_accumulate(sch, dpts)
     assert exc, "doubling corner must raise exc"

@@ -194,6 +194,54 @@ def test_emitter_g1_madd(env16):
     assert bool(np.asarray(exc).all())
 
 
+def test_emitter_loop_cios(env16):
+    """FqEmitLoop (rolled CIOS — the TPU default) matches the unrolled
+    emitter bit-for-bit on mul/sq, including the 0 / 1 / Q-1 edges."""
+    params, lb, pf = env16["params"], env16["lb"], env16["pf"]
+
+    Q = params.Q
+    spec = params.fq_spec()
+    e = pf.FqEmitLoop(spec)
+    rng = random.Random(8)
+    xs = [rng.randrange(Q) for _ in range(125)] + [0, 1, Q - 1]
+    ys = [rng.randrange(Q) for _ in range(125)] + [Q - 1, 1, Q - 1]
+    a, b = _to_cols(xs, spec, lb), _to_cols(ys, spec, lb)
+    assert _from_cols(e.mul(a, b), spec, lb) == [x * y % Q for x, y in zip(xs, ys)]
+    assert _from_cols(e.sq(a), spec, lb) == [x * x % Q for x in xs]
+
+
+def test_emitter_g1_addx(env16):
+    """Flagged distinct add: generic sums, infinity operands, opposite ->
+    z3 == 0, and the equal-operands corner raises the flag."""
+    params, lb, pf, rc = env16["params"], env16["lb"], env16["pf"], env16["rc"]
+
+    spec = params.fq_spec()
+    e = _emit(env16)
+    rng = random.Random(9)
+    P = [rc.g1_mul(rc.g1_gen, rng.randrange(1, 2**64)) for _ in range(3)]
+    Qp = [rc.g1_mul(rc.g1_gen, rng.randrange(1, 2**64)) for _ in range(2)]
+    # lanes: generic | p = inf | q = inf | opposite | equal (flagged)
+    px = [P[0][0], 1, P[1][0], P[2][0], P[2][0]]
+    py = [P[0][1], 1, P[1][1], P[2][1], P[2][1]]
+    pz = [1, 0, 1, 1, 1]
+    qx = [Qp[0][0], Qp[1][0], 1, P[2][0], P[2][0]]
+    qy = [Qp[0][1], Qp[1][1], 1, (-P[2][1]) % params.Q, P[2][1]]
+    qz = [1, 1, 0, 1, 1]
+    p = tuple(_to_cols(v, spec, lb) for v in (px, py, pz))
+    q = tuple(_to_cols(v, spec, lb) for v in (qx, qy, qz))
+    out, exc = pf._jac_addx(e, p, q)
+    flags = list(np.asarray(exc))
+    assert flags == [False, False, False, False, True]
+    ox, oy, oz = (_from_cols(c, spec, lb) for c in out)
+    exp = [rc.g1_add(P[0], Qp[0]), Qp[1], P[1]]
+    for i in range(3):
+        zi = pow(oz[i], params.Q - 2, params.Q)
+        ax = ox[i] * zi * zi % params.Q
+        ay = oy[i] * zi * zi % params.Q * zi % params.Q
+        assert (ax, ay) == exp[i]
+    assert oz[3] == 0  # opposite points -> infinity via z3 == 0
+
+
 @pytest.mark.slow  # interpret-mode pallas_call: multi-minute XLA compile on the 2-core rig
 def test_pallas_call_g1_plumbing(env16):
     """Interpret-mode pallas_call round trip: mont_mul + g1 double + madd."""

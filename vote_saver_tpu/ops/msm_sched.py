@@ -105,14 +105,19 @@ class Schedule:
 
     Digit distributions are skewed (the top window of a 255-bit scalar only
     populates a handful of buckets), so step count is capped: a bucket with
-    more than `step budget` entries spills into orphan accumulator lanes
-    (beyond the canonical K*2^(w-1)), which a few gathered-add merge rounds
-    fold back before bucket combination.  Keeps lane occupancy high instead
-    of letting one hot bucket serialise the whole MSM.
+    more than `steps` entries spills chunk-by-chunk into orphan accumulator
+    lanes (a CONTIGUOUS run per bucket, beyond the canonical K*2^(w-1)),
+    which a fixed segmented Hillis-Steele tree folds into each run's head;
+    one gather round then adds the heads back into their canonical lanes.
+    Keeps lane occupancy high instead of letting one hot bucket serialise
+    the whole MSM, at log (not linear) merge depth.
     """
 
     codes: np.ndarray  # (steps, lanes) int32: 0 = idle; else (pidx+1) | sign<<30
-    merge_idx: np.ndarray  # (rounds, lanes) int32: 0 = none; else orphan lane+1
+    merge_part: np.ndarray  # (_MROUNDS, lanes-canon) int32: orphan-region
+    # tree partner position+1 (0 = idle) per round
+    merge_gather: np.ndarray  # (canon,) int32: orphan-run head position+1
+    # in the orphan region (0 = no orphans for this bucket)
     window_bits: int
     num_windows: int  # windows per part
     lanes: int  # canonical + orphan lanes, padded to a multiple of 128
@@ -125,12 +130,25 @@ def _pad_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-# Shape memo: (n, w) -> [steps, lanes, rounds].  Schedule shapes are data-
-# dependent (orphan counts, max loads); pad every schedule up to the largest
-# shape seen for its size so repeat MSMs hit one compiled device program
-# (remote TPU compiles cost ~60s; shapes grow monotonically and stabilise
-# after the first call or two).
-_SHAPE_MEMO: dict = {}
+# Schedule shapes are chosen ANALYTICALLY from (total entries, canonical
+# lanes) and quantised to this geometric grid, so every batch of a given MSM
+# family lands on ONE compiled device program — and, being process-
+# independent, on the SAME persistent-cache entry across processes.  (The
+# earlier largest-shape-seen memo recompiled the multi-minute MSM programs
+# whenever a batch's data-dependent shape grew mid-run — the round-4/5 bench
+# regressions — and keyed differently in every process.)
+_STEP_GRID = [16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
+              1536, 2048, 3072, 4096, 6144, 8192]
+_MAX_CHUNKS = 32  # per-bucket chunk cap; loads beyond _MAX_CHUNKS*steps
+# escalate `steps` up the grid (degenerate/adversarial scalar sets only)
+_MROUNDS = 5  # log2(_MAX_CHUNKS) segmented-tree merge rounds
+
+
+def _grid_up(x: int) -> int:
+    for g in _STEP_GRID:
+        if g >= x:
+            return g
+    return _pad_up(x, _STEP_GRID[-1])
 
 
 def _lane_pad() -> int:
@@ -138,6 +156,49 @@ def _lane_pad() -> int:
     full lane tiles), fine on the CPU test/dryrun rig (complete-add lanes
     are expensive there and shapes recompile cheaply)."""
     return 1024 if jax.default_backend() == "tpu" else 128
+
+
+def _fit_shape(loads: np.ndarray, total: int, canon: int):
+    """(steps, lanes, orph_cnt): the grid-quantised schedule shape, escalated
+    (rare — degenerate scalar sets) until every bucket fits _MAX_CHUNKS
+    chunks and the orphan runs fit the orphan region."""
+    lam = total / max(canon, 1)
+    steps = _grid_up(max(16, int(lam * 1.3) + 4))
+    lanes = _pad_up(canon + max(512, canon // 16), _lane_pad())
+    while True:
+        chunks = -(-loads // steps) if total else np.zeros(canon, np.int64)
+        orph_cnt = np.maximum(chunks - 1, 0)
+        max_chunks = int(chunks.max()) if total else 0
+        if int(orph_cnt.sum()) <= lanes - canon and max_chunks <= _MAX_CHUNKS:
+            return steps, lanes, orph_cnt.astype(np.int64)
+        steps = _grid_up(steps + 1)
+
+
+def _merge_arrays(orph_cnt: np.ndarray, canon: int, lanes: int):
+    """Segmented-tree merge plan.  Bucket b's orphan chunks occupy the
+    contiguous orphan-region run [orph_base[b], orph_base[b]+orph_cnt[b]);
+    _MROUNDS Hillis-Steele rounds (position o absorbs o + 2^r while inside
+    the run) fold each run into its head; merge_gather then points each
+    canonical lane at its run head.  Returns (part, gather, orph_base)."""
+    orph_len = lanes - canon
+    part = np.zeros((_MROUNDS, orph_len), np.int32)
+    gather = np.zeros(canon, np.int32)
+    orph_base = np.zeros(canon, np.int64)
+    n_orph = int(orph_cnt.sum())
+    if n_orph:
+        orph_base[1:] = np.cumsum(orph_cnt, dtype=np.int64)[:-1]
+        bsel = np.nonzero(orph_cnt)[0]
+        reps = orph_cnt[bsel]
+        base_rep = np.repeat(orph_base[bsel], reps)
+        pos = np.arange(n_orph, dtype=np.int64)
+        within = pos - base_rep
+        cnt_rep = np.repeat(reps, reps)
+        for r in range(_MROUNDS):
+            sh = 1 << r
+            m = within + sh < cnt_rep
+            part[r, pos[m]] = (pos[m] + sh + 1).astype(np.int32)
+        gather[bsel] = (orph_base[bsel] + 1).astype(np.int32)
+    return part, gather, orph_base
 
 
 def build_schedule(
@@ -169,7 +230,17 @@ def build_schedule(
     return _schedule_from_digits(digs, w, inf_mask, num_parts=1)
 
 
-def build_schedule_multi(scalar_limbs_list, window_bits: int = 10, inf_mask=None) -> Schedule:
+def default_window_bits() -> int:
+    """Prover MSM window width; VSTPU_MSM_W overrides for sweeps.
+
+    The tradeoff is multi-part-aware: bucket-accumulation work scales with
+    windows-per-scalar K ~ 256/w (favours large w), while the combination
+    passes scale with lanes = parts * K * 2^(w-1) (favours small w — at the
+    prover's B=16 multi-part shapes lanes dominate the device time)."""
+    return int(os.environ.get("VSTPU_MSM_W", "10"))
+
+
+def build_schedule_multi(scalar_limbs_list, window_bits: int | None = None, inf_mask=None) -> Schedule:
     """One schedule for B independent scalar vectors over a SHARED point set
     (the prover's voters x CRS case): windows of part i live at window offset
     i*K, so bucket accumulation and combination run as one device program.
@@ -177,7 +248,7 @@ def build_schedule_multi(scalar_limbs_list, window_bits: int = 10, inf_mask=None
     Dispatches to the native two-pass scheduler (native/vs_native.cpp
     vs_sched_pass1/2 — no sort, threaded) when built; the numpy argsort path
     below doubles as its oracle (tests/test_curve_msm_ntt.py)."""
-    w = window_bits
+    w = window_bits if window_bits is not None else default_window_bits()
     from .. import native_bridge as nb
 
     if nb.available() and os.environ.get("VSTPU_SCHED", "native") == "native":
@@ -215,38 +286,13 @@ def _schedule_native(scalar_limbs_list, w: int, inf_mask) -> Schedule:
     canon = parts * K * bw
     loads = counts.sum(axis=0, dtype=np.int64)
 
-    steps = max(16, -(-total * 13 // (10 * canon))) if total else 1
-    max_load = int(loads.max()) if total else 0
-    nsteps = _pad_up(max(min(steps, max_load), 1), 8)
-    chunks = -(-loads // steps)
-    orph_cnt = np.maximum(chunks - 1, 0)
-    n_orphans = int(orph_cnt.sum())
-    lanes = _pad_up(canon + max(n_orphans, 1), _lane_pad())
-    rounds = _pad_up(int(orph_cnt.max()), 4) if n_orphans else 0
-
-    memo = _SHAPE_MEMO.setdefault((n, w, parts), [nsteps, lanes, rounds])
-    memo[0] = nsteps = max(memo[0], nsteps)
-    memo[1] = lanes = max(memo[1], lanes)
-    memo[2] = rounds = max(memo[2], rounds)
-
-    orph_base = np.zeros(canon, dtype=np.int32)
-    if n_orphans:
-        orph_base[1:] = np.cumsum(orph_cnt, dtype=np.int64)[:-1].astype(np.int32)
+    steps, lanes, orph_cnt = _fit_shape(loads, total, canon)
+    part, gather, orph_base = _merge_arrays(orph_cnt, canon, lanes)
     codes = nb.sched_pass2(
-        digits, parts, n, w, inf_mask, counts, orph_base, steps, nsteps, lanes
+        digits, parts, n, w, inf_mask, counts,
+        orph_base.astype(np.int32), steps, steps, lanes
     )
-
-    merge_idx = np.zeros((rounds, lanes), dtype=np.int32)
-    if n_orphans:
-        lanes_w = np.nonzero(orph_cnt)[0]
-        reps = orph_cnt[lanes_w]
-        lane_rep = np.repeat(lanes_w, reps)
-        base_rep = np.repeat(orph_base[lanes_w], reps)
-        within = np.arange(len(lane_rep)) - np.repeat(
-            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
-        )
-        merge_idx[within, lane_rep] = canon + base_rep + within + 1
-    return Schedule(codes, merge_idx, w, K, lanes, total, parts)
+    return Schedule(codes, part, gather, w, K, lanes, total, parts)
 
 
 def _schedule_from_digits(digs, w, inf_mask, num_parts):
@@ -268,71 +314,48 @@ def _schedule_from_digits(digs, w, inf_mask, num_parts):
     sign = (d < 0).astype(np.int64)
     total = int(lane.shape[0])
 
+    loads = np.bincount(lane, minlength=canon).astype(np.int64)
+    steps, lanes, orph_cnt = _fit_shape(loads, total, canon)
+    part, gather, orph_base = _merge_arrays(orph_cnt, canon, lanes)
+
     order = np.argsort(lane, kind="stable")
     lane_s, p_s, sign_s = lane[order], p[order], sign[order]
     first_pos = np.searchsorted(lane_s, lane_s, side="left")
     occ = np.arange(total) - first_pos
 
-    # step budget: ~1.3x the mean bucket load, at least 16
-    steps = max(16, -(-total * 13 // (10 * canon))) if total else 1
     chunk = occ // steps  # 0 = canonical accumulator, >=1 spills to orphans
     step = occ % steps
+    # orphan chunk c of bucket b lands at the contiguous run position
+    # canon + orph_base[b] + (c-1) — the exact layout the native pass2 emits
+    entry_lane = np.where(
+        chunk == 0, lane_s, canon + orph_base[lane_s] + chunk - 1
+    )
 
-    # allocate one orphan lane per distinct (bucket, chunk>=1) pair
-    spill = chunk >= 1 if total else np.zeros(0, dtype=bool)
-    max_chunk = int(chunk.max()) + 1 if spill.any() else 1
-    pair_key = lane_s[spill] * max_chunk + chunk[spill]
-    uniq, pair_inv = np.unique(pair_key, return_inverse=True)
-    n_orphans = uniq.shape[0]
-    lanes = _pad_up(canon + max(n_orphans, 1), _lane_pad())
-    nsteps = _pad_up(max(int(step.max()) + 1 if total else 1, 1), 8)
-    if n_orphans:
-        first = np.unique(pair_key, return_index=True)[1]
-        orph_canon = lane_s[spill][first]
-        orph_chunk = chunk[spill][first]
-        rounds = _pad_up(int(orph_chunk.max()), 4)
-    else:
-        rounds = 0
-
-    # pad up to the largest shape seen for this (n, w) -> stable jit shapes
-    memo = _SHAPE_MEMO.setdefault((n, w, num_parts), [nsteps, lanes, rounds])
-    memo[0] = nsteps = max(memo[0], nsteps)
-    memo[1] = lanes = max(memo[1], lanes)
-    memo[2] = rounds = max(memo[2], rounds)
-
-    entry_lane = lane_s.copy()
-    entry_lane[spill] = canon + pair_inv
-
-    codes = np.zeros((nsteps, lanes), dtype=np.int32)
+    codes = np.zeros((steps, lanes), dtype=np.int32)
     codes[step, entry_lane] = (p_s + 1) | (sign_s << 30)
-
-    # merge schedule: orphan r of canonical lane c -> merge_idx[r, c]
-    merge_idx = np.zeros((rounds, lanes), dtype=np.int32)
-    if n_orphans:
-        merge_idx[orph_chunk - 1, orph_canon] = canon + np.arange(n_orphans) + 1
     assert K % num_parts == 0
-    return Schedule(codes, merge_idx, w, K // num_parts, lanes, total, num_parts)
+    return Schedule(codes, part, gather, w, K // num_parts, lanes, total, num_parts)
 
 
 def unify_schedule_shapes(*schedules: "Schedule") -> None:
     """Pad the given same-(K, w, parts) schedules to one common
-    (steps, lanes, rounds) shape IN PLACE, so every query MSM built from
+    (steps, lanes) shape IN PLACE, so every query MSM built from
     them hits ONE compiled device program (each distinct schedule shape
     otherwise costs its own multi-minute compile on the TPU backend).
     Padding is zero codes / zero merge entries = idle lanes."""
     assert len({(s.num_windows, s.window_bits, s.num_parts) for s in schedules}) == 1
     steps = max(s.codes.shape[0] for s in schedules)
     lanes = max(s.lanes for s in schedules)
-    rounds = max(s.merge_idx.shape[0] for s in schedules)
+    canon = schedules[0].merge_gather.shape[0]
     for s in schedules:
-        if (s.codes.shape, s.merge_idx.shape) == ((steps, lanes), (rounds, lanes)):
+        assert s.merge_gather.shape[0] == canon
+        if s.codes.shape == (steps, lanes):
             continue
         c = np.zeros((steps, lanes), np.int32)
         c[: s.codes.shape[0], : s.codes.shape[1]] = s.codes
-        m = np.zeros((rounds, lanes), np.int32)
-        if s.merge_idx.size:
-            m[: s.merge_idx.shape[0], : s.merge_idx.shape[1]] = s.merge_idx
-        s.codes, s.merge_idx, s.lanes = c, m, lanes
+        m = np.zeros((_MROUNDS, lanes - canon), np.int32)
+        m[:, : s.merge_part.shape[1]] = s.merge_part
+        s.codes, s.merge_part, s.lanes = c, m, lanes
 
 
 def g1_affine_to_device(points):
@@ -394,6 +417,30 @@ def _ops(group: str) -> co.JacobianOps:
     return co.g1_ops() if group == "g1" else co.g2_ops()
 
 
+def _addx(group: str, distinct: bool = False):
+    """(p, q) -> (p + q, doubling-corner flag) — the combination-phase adder.
+
+    distinct=False: the complete add (correct for EQUAL operands, which the
+    suffix rounds hit systematically via empty bucket ranges); flag is
+    identically zero.  distinct=True: the flagged distinct add on the Pallas
+    path (12 Fq muls vs the complete formula's ~25 with its inline double) —
+    ONLY valid when the accumulator lanes carry distinct offsets that make
+    operand collisions measure-zero; the flag feeds the caller's
+    complete-formula fallback for the adversarial remainder."""
+    ops = _ops(group)
+    lead = 2 if group == "g2" else 1
+    if distinct and ops._pallas() is not None:
+        from . import pallas_field as pf
+
+        return pf.g1_addx_pallas if group == "g1" else pf.g2_addx_pallas
+
+    def addc(p, q):
+        out = ops.add(p, q)
+        return out, jnp.zeros(p[0].shape[: p[0].ndim - lead], jnp.uint32)
+
+    return addc
+
+
 def _infinity(ops, lanes, g2: bool):
     L = fq_spec().num_limbs
     dtype = ops.f.fq.dtype if g2 else ops.f.dtype
@@ -402,24 +449,32 @@ def _infinity(ops, lanes, g2: bool):
     return ops.infinity_like(x)
 
 
-def _suffix_and_total(ops, acc, K: int, bw: int):
+def _suffix_and_total(ops, addx, acc, K: int, bw: int):
     """acc: Jacobian coords with leading dim (K*bw[, pad]) -> per-window
-    weighted sums S_w = sum_b (b+1) * acc[w, b] as coords (K, ...).
+    weighted sums S_w = sum_b (b+1) * acc[w, b] as coords (K, ...), plus an
+    exceptional-flag scalar.
 
     Two passes of the same masked Hillis-Steele doubling body, as ONE
     lax.scan body compiled once (not log2(bw) inlined rounds — the unrolled
     form dominated the scheduled MSM's XLA graph and its TPU compile time):
     pass 1 turns buckets into suffix sums S_b = sum_{j>=b} a_j, pass 2 sums
     those (position 0 then holds sum_b S_b = sum_b (b+1) a_b).  Out-of-range
-    partners enter as infinity, which the complete add absorbs."""
+    partners enter as infinity, which the adder absorbs.
+
+    The adder (`addx`) must handle EQUAL operands: empty bucket ranges make
+    adjacent suffix partials collide systematically (not measure-zero), so
+    pass the complete add (flag identically zero) unless distinct per-lane
+    offsets in the accumulator init de-duplicate the partials."""
     coords = tuple(c[: K * bw].reshape((K, bw) + c.shape[1:]) for c in acc)
+    exc = jnp.zeros((), jnp.uint32)
     if bw > 1:
         steps = (bw - 1).bit_length()
         shifts = jnp.asarray([1 << s for s in range(steps)], jnp.int32)
         idx = jnp.arange(bw)
         inf = ops.infinity_like(coords[0])
 
-        def body(cs, shift):
+        def body(carry, shift):
+            cs, e = carry
             valid = (idx + shift < bw).reshape(
                 (1, bw) + (1,) * (cs[0].ndim - 2)
             )
@@ -427,37 +482,42 @@ def _suffix_and_total(ops, acc, K: int, bw: int):
                 jnp.where(valid, jnp.roll(c, -shift, axis=1), i)
                 for c, i in zip(cs, inf)
             )
-            return ops.add(cs, rolled), None
+            added, flag = addx(cs, rolled)
+            return (added, e | jnp.any(flag != 0).astype(jnp.uint32)), None
 
-        coords, _ = jax.lax.scan(body, coords, shifts)  # suffix sums
-        coords, _ = jax.lax.scan(body, coords, shifts)  # sum of suffixes
-    return tuple(c[:, 0] for c in coords)
+        (coords, exc), _ = jax.lax.scan(body, (coords, exc), shifts)
+        (coords, exc), _ = jax.lax.scan(body, (coords, exc), shifts)
+    return tuple(c[:, 0] for c in coords), exc
 
 
-def _horner(ops, window_sums, w: int, parts: int):
+def _horner(ops, addx, window_sums, w: int, parts: int):
     """result[p] = sum_j 2^(w*j) * S_{p,j} via MSB-first Horner scan, batched
-    over parts.  window_sums coords have leading dim parts*K.  The w
+    over parts; returns (coords (parts, ...), exceptional flag).  The w
     doublings ride a fori_loop (one compiled double body, not w inlined)."""
     coords = tuple(
         c.reshape((parts, c.shape[0] // parts) + c.shape[1:]) for c in window_sums
     )
     rev = tuple(jnp.moveaxis(c[:, ::-1], 1, 0) for c in coords)  # (K, parts, ...)
 
-    def body(acc, s):
+    def body(carry, s):
+        acc, e = carry
         acc = jax.lax.fori_loop(0, w, lambda _i, a: ops.double(a), acc)
-        return ops.add(acc, s), None
+        added, flag = addx(acc, s)
+        return (added, e | jnp.any(flag != 0).astype(jnp.uint32)), None
 
     acc = ops.infinity_like(coords[0][:, 0])
-    acc, _ = jax.lax.scan(body, acc, rev)
-    return acc  # coords with leading dim (parts,)
+    (acc, exc), _ = jax.lax.scan(body, (acc, jnp.zeros((), jnp.uint32)), rev)
+    return acc, exc  # coords with leading dim (parts,)
 
 
-def _msm_device(group: str, points_xy, codes, merge_idx, K: int, w: int, parts: int = 1):
+def _msm_device(group: str, points_xy, codes, merge_part, merge_gather,
+                K: int, w: int, parts: int = 1):
     """jit-able core: returns (jacobian coords (parts, ...), any_exceptional)."""
     ops = _ops(group)
     madd = _madd(group)
     g2 = group == "g2"
     lanes = codes.shape[1]
+    canon = merge_gather.shape[0]
     bw = 1 << (w - 1)
     acc = _infinity(ops, lanes, g2)
     exc0 = jnp.zeros((lanes,), jnp.uint32)
@@ -476,28 +536,41 @@ def _msm_device(group: str, points_xy, codes, merge_idx, K: int, w: int, parts: 
 
     (acc, exc), _ = jax.lax.scan(body, (acc, exc0), codes)
 
-    # fold orphan sub-buckets back into their canonical lanes (complete adds)
-    def merge_round(acc, idx_row):
+    # fold orphan runs into their heads (segmented tree over the orphan
+    # region only — a few tiles) then the heads into their canonical lanes
+    # (one full-width round); complete adds, so no flags can fire here
+    def masked_add(coords, idx_row):
         take = jnp.maximum(idx_row - 1, 0)
-        gathered = tuple(jnp.take(c, take, axis=0) for c in acc)
-        added = ops.add(acc, gathered)
-        live = idx_row != 0
-        mask = live.reshape((-1,) + (1,) * (acc[0].ndim - 1))
-        return tuple(jnp.where(mask, a, c) for a, c in zip(added, acc)), None
+        gathered = tuple(jnp.take(c, take, axis=0) for c in coords)
+        added = ops.add(coords, gathered)
+        live = (idx_row != 0).reshape((-1,) + (1,) * (coords[0].ndim - 1))
+        return tuple(jnp.where(live, a, c) for a, c in zip(added, coords))
 
-    if merge_idx.shape[0]:
-        acc, _ = jax.lax.scan(merge_round, acc, merge_idx)
+    can = tuple(c[:canon] for c in acc)
+    if merge_part.shape[1]:
+        orph = tuple(c[canon:] for c in acc)
 
-    sums = _suffix_and_total(ops, acc, K * parts, bw)
-    res = _horner(ops, sums, w, parts)
-    return res, jnp.any(exc != 0)
+        def tree_round(orph, part_row):
+            return masked_add(orph, part_row), None
+
+        orph, _ = jax.lax.scan(tree_round, orph, merge_part)
+        take = jnp.maximum(merge_gather - 1, 0)
+        heads = tuple(jnp.take(c, take, axis=0) for c in orph)
+        added = ops.add(can, heads)
+        live = (merge_gather != 0).reshape((-1,) + (1,) * (can[0].ndim - 1))
+        can = tuple(jnp.where(live, a, c) for a, c in zip(added, can))
+
+    addx = _addx(group)
+    sums, exc_s = _suffix_and_total(ops, addx, can, K * parts, bw)
+    res, exc_h = _horner(ops, addx, sums, w, parts)
+    return res, jnp.any(exc != 0) | (exc_s != 0) | (exc_h != 0)
 
 
 @functools.cache
 def _msm_device_jit(group: str, K: int, w: int, parts: int = 1):
     return jax.jit(
-        lambda pxy, codes, merge_idx: _msm_device(
-            group, pxy, codes, merge_idx, K, w, parts
+        lambda pxy, codes, merge_part, merge_gather: _msm_device(
+            group, pxy, codes, merge_part, merge_gather, K, w, parts
         )
     )
 
@@ -512,7 +585,8 @@ def msm_scheduled_async(group: str, points_affine_dev, schedule: Schedule):
     return fn(
         points_affine_dev,
         jnp.asarray(schedule.codes),
-        jnp.asarray(schedule.merge_idx),
+        jnp.asarray(schedule.merge_part),
+        jnp.asarray(schedule.merge_gather),
     )
 
 

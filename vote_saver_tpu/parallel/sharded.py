@@ -118,20 +118,21 @@ def sharded_tally(mesh: Mesh, ct_points):
 
 def pad_schedules(schedules):
     """Pad a list of per-shard msm_sched.Schedule objects to one common
-    (steps, lanes, rounds) shape so their code arrays stack for shard_map."""
+    (steps, lanes) shape so their code/merge arrays stack for shard_map."""
     steps = max(s.codes.shape[0] for s in schedules)
     lanes = max(s.lanes for s in schedules)
-    rounds = max(s.merge_idx.shape[0] for s in schedules)
-    codes, merges = [], []
+    canon = schedules[0].merge_gather.shape[0]
+    codes, parts_, gathers = [], [], []
     for s in schedules:
+        assert s.merge_gather.shape[0] == canon
         c = np.zeros((steps, lanes), dtype=np.int32)
         c[: s.codes.shape[0], : s.codes.shape[1]] = s.codes
-        m = np.zeros((rounds, lanes), dtype=np.int32)
-        if s.merge_idx.size:
-            m[: s.merge_idx.shape[0], : s.merge_idx.shape[1]] = s.merge_idx
+        m = np.zeros((s.merge_part.shape[0], lanes - canon), dtype=np.int32)
+        m[:, : s.merge_part.shape[1]] = s.merge_part
         codes.append(c)
-        merges.append(m)
-    return np.stack(codes), np.stack(merges)
+        parts_.append(m)
+        gathers.append(s.merge_gather)
+    return np.stack(codes), np.stack(parts_), np.stack(gathers)
 
 
 def sharded_msm_scheduled(mesh: Mesh, group: str, points_xy, schedules):
@@ -154,11 +155,11 @@ def sharded_msm_scheduled(mesh: Mesh, group: str, points_xy, schedules):
     d = mesh.shape[axis]
     assert len(schedules) == d
     s0 = schedules[0]
-    codes, merges = pad_schedules(schedules)
+    codes, parts_, gathers = pad_schedules(schedules)
     fn = sharded_msm_scheduled_fn(
         mesh, group, s0.num_windows, s0.window_bits, s0.num_parts
     )
-    return fn(points_xy, codes, merges)
+    return fn(points_xy, codes, parts_, gathers)
 
 
 def sharded_msm_scheduled_fn(mesh: Mesh, group: str, K: int, w: int, parts: int):
@@ -170,8 +171,10 @@ def sharded_msm_scheduled_fn(mesh: Mesh, group: str, K: int, w: int, parts: int)
     axis = "points"
     ops = co.g1_ops() if group == "g1" else co.g2_ops()
 
-    def local(pxy, codes_l, merge_l):
-        res, exc = msm_sched._msm_device(group, pxy, codes_l[0], merge_l[0], K, w, parts)
+    def local(pxy, codes_l, part_l, gather_l):
+        res, exc = msm_sched._msm_device(
+            group, pxy, codes_l[0], part_l[0], gather_l[0], K, w, parts
+        )
         gathered = tuple(
             jax.lax.all_gather(c[None, ...], axis, tiled=True) for c in res
         )
@@ -181,7 +184,7 @@ def sharded_msm_scheduled_fn(mesh: Mesh, group: str, K: int, w: int, parts: int)
     return jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=((P(axis), P(axis)), P(axis), P(axis)),
+        in_specs=((P(axis), P(axis)), P(axis), P(axis), P(axis)),
         out_specs=(tuple(P() for _ in range(3)), P()),
         check_vma=False,
     )
