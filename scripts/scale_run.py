@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--out", default="SCALE_run.json")
     ap.add_argument("--verify-sample", type=int, default=4,
                     help="how many ballots to vergrth16-verify individually")
+    ap.add_argument("--stream", action="store_true",
+                    help="software-pipelined vote batches (device-tail path)")
     args = ap.parse_args()
 
     if args.mesh_cpu:
@@ -127,16 +129,38 @@ def main():
     ballots = []
     t0 = time.time()
     warm = None
-    for off in range(0, n_voters, B):
-        idxs = list(range(off, min(off + B, n_voters)))
+    if args.stream:
+        # software-pipelined voting (phases.vote_with_context_stream):
+        # byte-identical ballots, batch i+1 host work under batch i device
+        # MSMs
+        batches = [
+            (
+                list(range(off, min(off + B, n_voters))),
+                [votes[i] for i in range(off, min(off + B, n_voters))],
+                [voters[i][1] for i in range(off, min(off + B, n_voters))],
+            )
+            for off in range(0, n_voters, B)
+        ]
         bt0 = time.time()
-        ballots += phases.vote_with_context(
-            ctx, idxs, [votes[i] for i in idxs], [voters[i][1] for i in idxs], rng
-        )
-        if warm is None:
-            warm = round(time.time() - bt0, 2)  # includes compiles
-        print(f"[scale] voted {len(ballots)}/{n_voters} "
-              f"({time.time()-bt0:.1f}s batch)", flush=True)
+        for out in phases.vote_with_context_stream(ctx, batches, rng):
+            ballots += out
+            if warm is None:
+                warm = round(time.time() - bt0, 2)  # includes compiles
+            print(f"[scale] voted {len(ballots)}/{n_voters} "
+                  f"({time.time()-bt0:.1f}s since last)", flush=True)
+            bt0 = time.time()
+        rec["vote_mode"] = "stream"
+    else:
+        for off in range(0, n_voters, B):
+            idxs = list(range(off, min(off + B, n_voters)))
+            bt0 = time.time()
+            ballots += phases.vote_with_context(
+                ctx, idxs, [votes[i] for i in idxs], [voters[i][1] for i in idxs], rng
+            )
+            if warm is None:
+                warm = round(time.time() - bt0, 2)  # includes compiles
+            print(f"[scale] voted {len(ballots)}/{n_voters} "
+                  f"({time.time()-bt0:.1f}s batch)", flush=True)
     t["vote_total"] = round(time.time() - t0, 2)
     t["vote_first_batch_incl_compile"] = warm
     rec["proofs_per_s"] = round(n_voters / t["vote_total"], 4)

@@ -20,6 +20,20 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for the CPU test rig (separate from the TPU
+# .jax_cache): the prover-pipeline programs cost multi-minute XLA compiles
+# per process on the 2-core host; with analytic schedule shapes the keys are
+# process-independent, so reruns hit.
+import pathlib as _pathlib  # noqa: E402
+
+_cache = _pathlib.Path(__file__).resolve().parent.parent / ".jax_cache_cpu"
+_cache.mkdir(exist_ok=True)
+try:
+    jax.config.update("jax_compilation_cache_dir", str(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+except Exception:  # pragma: no cover
+    pass
+
 import pytest  # noqa: E402
 
 

@@ -82,6 +82,34 @@ def test_sharded_scheduled_msm_matches_host(mesh):
     assert int(np.asarray(excn)) == 0
 
 
+@pytest.mark.slow  # fresh-process CPU compiles of the full prover pipeline
+def test_vote_stream_matches_sequential(election, monkeypatch):
+    """The software-pipelined vote stream (phases.vote_with_context_stream)
+    must yield byte-identical ballots to sequential vote_with_context calls
+    under the same seeded rng (launches draw no randomness; the serial tail
+    runs in batch order)."""
+    from vote_saver_tpu.protocol import phases
+    from vote_saver_tpu.utils.rng import FrRandom
+
+    monkeypatch.setenv("VSTPU_DEVICE_TAIL", "1")
+    ctx = phases.prepare_vote_context(
+        2, 64, election["tree"], election["rt"], election["eid"],
+        election["pk_eid"], election["pk_crs"], election["vk_crs"],
+    )
+    batches = [
+        ([0, 1], [1, 2], [election["voters"][i][1] for i in (0, 1)]),
+        ([2, 0], [3, 1], [election["voters"][i][1] for i in (2, 0)]),
+    ]
+    rng = FrRandom(0xF00D)
+    seq = [
+        phases.vote_with_context(ctx, i, v, s, rng) for (i, v, s) in batches
+    ]
+    got = list(
+        phases.vote_with_context_stream(ctx, batches, FrRandom(0xF00D))
+    )
+    assert got == seq
+
+
 @pytest.mark.slow
 def test_sharded_prover_matches_unsharded(mesh, election):
     """vote_with_context with a mesh: the five prover MSMs run point-sharded

@@ -137,11 +137,20 @@ def _pad_up(x: int, m: int) -> int:
 # earlier largest-shape-seen memo recompiled the multi-minute MSM programs
 # whenever a batch's data-dependent shape grew mid-run — the round-4/5 bench
 # regressions — and keyed differently in every process.)
-_STEP_GRID = [16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
-              1536, 2048, 3072, 4096, 6144, 8192]
-_MAX_CHUNKS = 32  # per-bucket chunk cap; loads beyond _MAX_CHUNKS*steps
-# escalate `steps` up the grid (degenerate/adversarial scalar sets only)
-_MROUNDS = 5  # log2(_MAX_CHUNKS) segmented-tree merge rounds
+_STEP_GRID = [16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+              256, 320, 384, 448, 512, 640, 768, 1024, 1536, 2048, 3072,
+              4096, 6144, 8192]
+# Witness scalar vectors are EXTREMELY bucket-skewed: thousands of 0/1-valued
+# wires (Pedersen/Merkle bit columns) put their single nonzero digit into the
+# same (window 0, digit 1) bucket, so one bucket's load can be ~500x the mean.
+# The chunk cap is therefore deep (2^10 chunks/bucket): a hot bucket spreads
+# over hundreds of orphan-run lanes scanned in the SAME mean-sized step count,
+# and the segmented tree folds the run in log2 depth.  (Escalating `steps` to
+# the max load instead — or linear merge rounds — made the real-witness MSMs
+# 5-20x slower than uniform-scalar ones in rounds 1-4.)
+_MROUNDS = 10  # segmented-tree merge rounds
+_MAX_CHUNKS = 1 << _MROUNDS  # per-bucket chunk cap; beyond it (adversarial
+# scalar sets) `steps` escalates up the grid
 
 
 def _grid_up(x: int) -> int:
@@ -163,8 +172,15 @@ def _fit_shape(loads: np.ndarray, total: int, canon: int):
     (rare — degenerate scalar sets) until every bucket fits _MAX_CHUNKS
     chunks and the orphan runs fit the orphan region."""
     lam = total / max(canon, 1)
-    steps = _grid_up(max(16, int(lam * 1.3) + 4))
-    lanes = _pad_up(canon + max(512, canon // 16), _lane_pad())
+    # 1.15x mean-load slack: tighter than 1.3x (slots = steps * lanes is the
+    # device cost), with the overflow riding the orphan tree (budget
+    # canon/16; Poisson tails at prover lambda ~30-60 stay well inside it)
+    steps = _grid_up(max(16, int(lam * 1.15) + 2))
+    # orphan region sized for witness-style bucket skew (see _MROUNDS note):
+    # real depth-6 prover batches spill ~5-15k hot-bucket chunks against a
+    # canonical 221k — canon/8 keeps every batch far from the escalation
+    # edge, so shapes never flap between batches of one election
+    lanes = _pad_up(canon + max(1024, canon // 8), _lane_pad())
     while True:
         chunks = -(-loads // steps) if total else np.zeros(canon, np.int64)
         orph_cnt = np.maximum(chunks - 1, 0)

@@ -418,13 +418,16 @@ def _prove_msms_sharded(pk: ProvingKey, w_limbs: list, h_limbs: list, mesh):
     return outs  # device Jacobian coords, leading dim (B,) per query
 
 
-def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list):
+def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list,
+                          defer: bool = False):
     """Per-voter scheduled-bucket MSMs (ops/msm_sched.py).
 
     w_limbs/h_limbs: per-voter (m, L) / (domain-1, L) plain LE limb arrays.
     One schedule per scalar vector; the witness schedule is shared by the
     a/b1/b2 queries (schedules depend on scalars only).  Falls back to the
     complete-formula var-base MSM per query on the madd doubling corner.
+    defer=True returns a zero-arg `finish` closure instead of the outs dict
+    (the exc sync + fallback dispatch run when it is called).
     """
     import time
 
@@ -441,6 +444,16 @@ def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list):
     # one common shape -> one compiled G1 program for a/b1/l/h (and the G2
     # program shares sch_w's shape); distinct shapes each cost a compile
     ms.unify_schedule_shapes(sch_w, sch_aux, sch_h)
+    import os
+
+    if os.environ.get("VSTPU_TRACE"):
+        for nm, s in (("w", sch_w), ("aux", sch_aux), ("h", sch_h)):
+            print(
+                f"[trace] sched[{nm}]: steps={s.codes.shape[0]} "
+                f"lanes={s.lanes} entries={s.total_entries} "
+                f"orphans={int((s.merge_gather != 0).sum())}",
+                flush=True,
+            )
     t0 = _trace("schedules", t0)
 
     def fb(name, group, limbs_list):
@@ -467,13 +480,22 @@ def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list):
             group, _devaff(pk, name), sch
         )
         t0 = _trace(f"msm {name} launch (batch {B})", t0)
-    # one host sync for all five exception flags (tunnel round trips are slow)
-    flags = jax.device_get(jnp.stack([excs[n] for n, *_ in queries]))
-    for (name, group, sch, ll), hit in zip(queries, flags):
-        if bool(hit):  # pragma: no cover - adversarial corner
-            outs[name] = fb(name, group, ll)()
-    t0 = _trace("msm exc sync", t0)
-    return outs  # device Jacobian coords, leading dim (B,) per query
+
+    def finish():
+        # one host sync for all five exception flags (tunnel round trips are
+        # slow); deferred so a pipelined caller can overlap the next batch's
+        # host work with this batch's device execution
+        t1 = time.time()
+        flags = jax.device_get(jnp.stack([excs[n] for n, *_ in queries]))
+        for (name, group, sch, ll), hit in zip(queries, flags):
+            if bool(hit):  # pragma: no cover - adversarial corner
+                outs[name] = fb(name, group, ll)()
+        _trace("msm exc sync", t1)
+        return outs  # device Jacobian coords, leading dim (B,) per query
+
+    if defer:
+        return finish
+    return finish()
 
 
 def _prove_msm_fn(pk: ProvingKey):
@@ -616,7 +638,7 @@ def _abc_h_w_fn(pk: ProvingKey):
     return pk._dev["abc_h_w_fn"]
 
 
-def prove_msms_device(pk: ProvingKey, w_mont, mesh=None):
+def prove_msms_device(pk: ProvingKey, w_mont, mesh=None, defer: bool = False):
     """Witness tensor -> the five query MSMs, kept ON DEVICE.
 
     Returns (outs, w_std): outs maps query name -> device Jacobian coords
@@ -625,6 +647,9 @@ def prove_msms_device(pk: ProvingKey, w_mont, mesh=None):
     (protocol/ballot_dev.finalize_ballots_device).  Raises AssertionError if
     any assignment fails the R1CS (the reference's in-production
     BOOST_ASSERT, common.hpp:1110-1128, as one batched device reduction).
+    defer=True (single-chip scheduled path only) returns (finish, w_std)
+    with `finish()` producing the outs dict — the pipelined vote stream
+    overlaps the next batch's host work with this batch's device MSMs.
     """
     import time
 
@@ -635,9 +660,11 @@ def prove_msms_device(pk: ProvingKey, w_mont, mesh=None):
     t0 = _trace("abc+h device", t0)
     if mesh is not None:
         outs = _prove_msms_sharded(pk, list(w_np), list(h_np), mesh)
+        if defer:
+            return (lambda: outs), w_np
     else:
-        outs = _msms_device(pk, list(w_np), list(h_np))
-    _trace("msms total", t0)
+        outs = _msms_device(pk, list(w_np), list(h_np), defer=defer)
+    _trace("msms launch" if defer else "msms total", t0)
     return outs, w_np
 
 
@@ -693,11 +720,12 @@ def _msms_host_native(pk: ProvingKey, w_ints: list, h_ints: list):
     return (results[0::5], results[1::5], results[2::5], results[3::5], results[4::5])
 
 
-def _msms_device(pk: ProvingKey, w_limbs: list, h_limbs: list) -> dict:
+def _msms_device(pk: ProvingKey, w_limbs: list, h_limbs: list,
+                 defer: bool = False):
     """Device MSMs for all five queries; returns {name: device Jacobian
     coords with leading dim (B,)} — results stay device-resident so the
     blinding/SAVER tail (protocol/ballot_dev.py) can consume them without a
-    host round trip."""
+    host round trip.  defer=True returns the finish closure instead."""
     import os
 
     if os.environ.get("VSTPU_MSM", "scheduled") == "varbase":
@@ -706,8 +734,11 @@ def _msms_device(pk: ProvingKey, w_limbs: list, h_limbs: list) -> dict:
         h_scalars = np.stack(h_limbs)
         msm_fn = _prove_msm_fn(pk)
         a_j, b1_j, b2_j, l_j, h_j = msm_fn(w_scalars, aux_scalars, h_scalars)
-        return dict(a=a_j, b1=b1_j, b2=b2_j, l=l_j, h=h_j)
-    return _prove_msms_scheduled(pk, w_limbs, h_limbs)
+        outs = dict(a=a_j, b1=b1_j, b2=b2_j, l=l_j, h=h_j)
+        if defer:
+            return lambda: outs
+        return outs
+    return _prove_msms_scheduled(pk, w_limbs, h_limbs, defer=defer)
 
 
 def _msms_from_device(outs: dict):

@@ -284,6 +284,95 @@ def vote_with_context(
     return out
 
 
+def vote_with_context_stream(
+    ctx: VoteContext,
+    batches: list[tuple[list[int], list[int], list[bytes]]],
+    rng: FrRandom | None = None,
+):
+    """Software-pipelined batched voting: yields one ballot list per batch.
+
+    Batch i+1's HOST work (witness dispatch, ABC/H fetch, schedule build,
+    MSM launches) overlaps batch i's device MSM execution — the device never
+    idles on schedule-building or serialization, so steady-state throughput
+    approaches the pure device time per batch.  The serial tail (exc sync,
+    ballot finalize, serialization) runs in batch order and all randomness
+    is drawn there, so the ballots are byte-identical to sequential
+    `vote_with_context` calls under the same seeded rng (launches draw no
+    randomness).  Requires the device tail path (the TPU configuration)."""
+    from ..circuit import witness_dev as wd
+    from ..ops import limbs as lb
+    from ..params import fr_spec
+    from . import ballot_dev
+
+    rng = rng or FrRandom()
+    circ, levels, eid_field, eid = ctx.circ, ctx.levels, ctx.eid_field, ctx.eid
+    spk, vk, pk = ctx.spk, ctx.vk, ctx.pk
+
+    def launch(batch):
+        voter_indices, votes, sk_blobs = batch
+        B = len(voter_indices)
+        assert len(votes) == B and len(sk_blobs) == B
+        for idx in voter_indices:
+            assert idx < (1 << ctx.tree_depth), (
+                "Voter index should be less than number of participants!"
+            )
+        sks = [M.de_bitarray(b, SECRET_KEY_BITS) for b in sk_blobs]
+        sib = np.stack(
+            [merkle.copath(levels, i) for i in voter_indices]
+        ).astype(object)
+        w_mont = wd.generate_witness_device(
+            circ, np.array(votes), eid, sks, np.array(voter_indices), sib
+        )
+        finish, w_std = groth16.prove_msms_device(pk, w_mont, defer=True)
+        prim = lb.limbs_to_ints(w_std[:, 1 : 1 + circ.cs.num_primary], fr_spec())
+        return finish, prim, votes
+
+    def tail(st):
+        finish, prim, votes = st
+        outs = finish()
+        rerand = ballot_dev.finalize_ballots_device(pk, spk, vk, outs, votes, rng)
+        out = []
+        for i in range(len(votes)):
+            ct, proof = rerand[i]
+            pinput = [int(x) for x in prim[i]]
+            eid_off = MSG_SIZE
+            sn_off = eid_off + len(eid_field)
+            rt_off = sn_off + 2
+            out.append(
+                (
+                    M.ser_proof(proof),
+                    M.ser_scalar_vector(pinput[eid_off:]),
+                    M.ser_ct(ct),
+                    M.ser_scalar_vector(pinput[sn_off:rt_off]),
+                )
+            )
+        return out
+
+    pending = None
+    for batch in batches:
+        try:
+            st = launch(batch)
+        except Exception as e:  # pragma: no cover - jax dispatch flake
+            # Dispatching a freshly-(re)compiled program while the previous
+            # batch's outputs are still in flight can fail on this jax
+            # version (INVALID_ARGUMENT: "supplied N buffers but compiled
+            # program expected M").  Drain the pipeline (finish the pending
+            # batch) and retry once against an idle queue; a second failure
+            # is real.
+            if pending is None:
+                raise
+            print(f"[vote_stream] drain-and-retry after: {e!r}", flush=True)
+            drained = tail(pending)
+            pending = None
+            st = launch(batch)
+            yield drained
+        if pending is not None:
+            yield tail(pending)
+        pending = st
+    if pending is not None:
+        yield tail(pending)
+
+
 def vote_phase(
     tree_depth: int,
     eid_bits: int,
