@@ -99,6 +99,15 @@ def main():
         marker.write_text(str(len(out)))
         return out
 
+    mesh = None
+    if args.mesh_cpu:
+        # the 8-virtual-device mesh drives the SHARDED prover
+        # (groth16._prove_msms_sharded): point-sharded MSMs + collectives
+        from vote_saver_tpu.parallel import sharded
+
+        mesh = sharded.make_mesh(4, 2)
+        rec["mesh"] = "points=4 x voters=2"
+
     rng = FrRandom(0x5CA1E)
 
     flat = cached(
@@ -155,7 +164,8 @@ def main():
             idxs = list(range(off, min(off + B, n_voters)))
             bt0 = time.time()
             ballots += phases.vote_with_context(
-                ctx, idxs, [votes[i] for i in idxs], [voters[i][1] for i in idxs], rng
+                ctx, idxs, [votes[i] for i in idxs],
+                [voters[i][1] for i in idxs], rng, mesh=mesh,
             )
             if warm is None:
                 warm = round(time.time() - bt0, 2)  # includes compiles

@@ -441,9 +441,13 @@ def _prove_msms_scheduled(pk: ProvingKey, w_limbs: list, h_limbs: list,
     sch_w = ms.build_schedule_multi(w_limbs)
     sch_aux = ms.build_schedule_multi(aux_limbs)
     sch_h = ms.build_schedule_multi(h_limbs)
-    # one common shape -> one compiled G1 program for a/b1/l/h (and the G2
-    # program shares sch_w's shape); distinct shapes each cost a compile
-    ms.unify_schedule_shapes(sch_w, sch_aux, sch_h)
+    # one shape for the witness-family queries (a/b1/l G1 + b2 G2 share it;
+    # w and aux land on the same analytic grid cell naturally).  The h
+    # schedule stays SEPARATE: its uniform scalars need ~3x the step count
+    # (lambda 61 vs 20 at depth 6), and unifying dragged four queries
+    # through h's step budget — ~2x the total MSM device time.  Cost: one
+    # extra ~60 s G1 program compile per process, hit only on cold start.
+    ms.unify_schedule_shapes(sch_w, sch_aux)
     import os
 
     if os.environ.get("VSTPU_TRACE"):
